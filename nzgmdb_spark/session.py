@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets large clusters (100 TB-class inputs); locally we run
+``local[$SPARK_GRAFT_CPUS]``. Every default here is chosen to survive a
+1000-executor deployment:
+
+- AQE on (runtime join re-selection, partition coalescing, skew-join
+  splitting) — the reference workload is skewed (a few large events carry
+  thousands of records; SURVEY.md §7.3-6).
+- Arrow transfer on — all numeric kernels are pandas-UDF based.
+- UTC session timezone — the reference strips timezones on ingest
+  (nzgmdb/data_retrieval/geonet.py:827); keeping the engine UTC-naive makes
+  results independent of driver locale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return f"local[{cpus}]"
+
+
+def get_spark(
+    app_name: str = "nzgmdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine SparkSession."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or default_master())
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,37 @@
+"""Table catalog over the synthetic warehouse (TESTDATA.md).
+
+Tables are one parquet file per name under a scale-factor directory. At
+cluster scale these would be partitioned parquet datasets; the loaders only
+depend on path globs, so the same code serves both layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from a scale-factor directory."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: tbl(spark, sf_dir, name) for name in TABLE_NAMES}
