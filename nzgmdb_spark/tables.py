@@ -30,6 +30,17 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from a scale-factor directory."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized parquet
+        # reader rejects; read nanos as long and downcast to microseconds
+        # (floor), matching DuckDB's TIMESTAMP_NS → TIMESTAMP coercion.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div`, not double `/`: epoch-nanos exceed double's 2^53
+        # exact-integer range, so float division would corrupt microseconds.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
