@@ -31,6 +31,19 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def pround(col: Column | str, digits: int = 6) -> Column:
+    """Portable half-up rounding: floor(x·10^d + 0.5)/10^d.
+
+    Spark's round() rounds via exact BigDecimal; DuckDB's multiplies in
+    doubles — they can disagree in the last ulp. This formula is the same
+    IEEE double sequence on both engines, so rounded outputs hash-match.
+    Oracle-side equivalent: ``floor(x * 1e{d} + 0.5) / 1e{d}``.
+    """
+    m = float(10**digits)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * m + F.lit(0.5)) / F.lit(m)
+
+
 def decimal_year(ts: Column) -> Column:
     """Timestamp → decimal year (reference: nzgmdb/calculation/aftershocks.py:117-140).
 

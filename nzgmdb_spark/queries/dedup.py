@@ -1,1 +1,309 @@
-# placeholder — filled in as operators land
+"""Deduplication operators over the documents table (BASELINE.json north
+star): exact hash dedup, n-gram Jaccard near-dup, MinHash+LSH banding, and
+SimHash — each with a full DuckDB oracle.
+
+Scale design: every variant is a shingle-explode → equi-join → aggregate
+plan. Nothing is quadratic in the corpus: the Jaccard join is blocked on
+shared shingles, LSH restricts intersection computation to band-bucket
+candidates, and SimHash reduces each doc to one 32-bit integer before any
+pairing. All hashing is md5 (bit-identical across engines); all arithmetic
+on integer counts → results are exact, no float tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.tables import tbl
+
+# --- Exact dedup: md5-hash groupBy (keep-first policy).
+
+EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact_hash", sql=EXACT_SQL, survey=["A5", "A6"])
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return d.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- Shared shingle machinery (word 3-grams, distinct per doc).
+
+SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(t) - 3)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )
+    return (
+        # guard: Spark's sequence(0, n) runs DESCENDING for n<0, so docs with
+        # <3 tokens must be dropped (DuckDB's generate_series is empty there).
+        d.filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard near-dup pairs: block on shared shingles (equi-join),
+# never on the cross product.
+
+JACCARD_SQL = f"""
+WITH {SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) AS jaccard
+FROM pairs p
+JOIN counts ca ON ca.doc_id = p.doc_a
+JOIN counts cb ON cb.doc_id = p.doc_b
+WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) > 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", sql=JACCARD_SQL, survey=["J13", "A2"], headline=True)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") > 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# --- MinHash + LSH: 8 hash functions (min over md5(k:shingle)), 4 bands of
+# 2 rows; candidate pairs share ≥1 band; candidates verified with exact
+# Jaccard. At 100 TB the band join is the only shuffle that touches all
+# docs, and it is an equi-join on the band hash.
+
+_N_HASH = 8
+_BANDS = 4  # rows per band = 2
+
+
+def _minhash_cols_sql() -> str:
+    return ",\n         ".join(
+        f"min(md5('{k}:' || s)) AS h{k}" for k in range(_N_HASH)
+    )
+
+
+def _band_cols_sql() -> str:
+    return ",\n         ".join(
+        f"md5(h{2 * j} || h{2 * j + 1}) AS band{j}" for j in range(_BANDS)
+    )
+
+
+MINHASH_SQL = f"""
+WITH {SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_minhash_cols_sql()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+         {_band_cols_sql()}
+  FROM sigs
+),
+band_rows AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_idx, band{j} AS band_hash FROM bands" for j in range(_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_rows a
+  JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.5
+"""
+
+
+@register("dedup_minhash_lsh", sql=MINHASH_SQL, survey=["J13", "A1"], headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")).cast("binary"))).alias(
+                f"h{k}"
+            )
+            for k in range(_N_HASH)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")).cast("binary")).alias(
+                f"band{j}"
+            )
+            for j in range(_BANDS)
+        ],
+    )
+    band_rows = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"), F.col(f"band{j}").alias("band_hash")
+                    )
+                    for j in range(_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("s").alias("sb_s"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb_doc")) & (F.col("sb_s") == F.col("sa_s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") > 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash (32-bit): per-token md5 → per-bit ±1 votes → majority sign →
+# packed integer signature. Integer-only arithmetic, exact across engines.
+
+_HEX = "0123456789abcdef"
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM toks),
+bits AS (
+  SELECT doc_id, g.b AS bit_idx,
+         CASE WHEN (
+           (strpos('{_HEX}', substr(h8, (g.b // 4) + 1, 1)) - 1)
+           >> (3 - (g.b % 4))
+         ) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM th, UNNEST(generate_series(0, 31)) AS g(b)
+),
+votes AS (
+  SELECT doc_id, bit_idx, CAST(sum(vote) AS BIGINT) AS v
+  FROM bits GROUP BY doc_id, bit_idx
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit_idx ELSE 0 END)
+            AS BIGINT) AS simhash32
+FROM votes
+GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", sql=SIMHASH_SQL, survey=["A8", "F9"])
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    th = toks.select(
+        "doc_id", F.substring(F.md5(F.col("tok").cast("binary")), 1, 8).alias("h8")
+    )
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit_idx"),
+        "h8",
+    )
+    # conv(hex,16,10) is the Spark-side nibble decode (DuckDB side uses
+    # strpos over the hex alphabet — same 0..15 result). shiftright/shiftleft
+    # with column shift amounts need F.expr (the PySpark wrappers take ints).
+    vote = F.expr(
+        "CASE WHEN (shiftright(CAST(conv(substring(h8, CAST(bit_idx / 4 AS INT) + 1, 1), 16, 10) AS INT), CAST(3 - bit_idx % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
+    )
+    votes = (
+        bits.withColumn("vote", vote)
+        .groupBy("doc_id", "bit_idx")
+        .agg(F.sum("vote").cast("bigint").alias("v"))
+    )
+    packed = F.sum(
+        F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit_idx AS INT)) ELSE CAST(0 AS BIGINT) END")
+    ).cast("bigint")
+    return votes.groupBy("doc_id").agg(packed.alias("simhash32"))

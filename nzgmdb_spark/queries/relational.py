@@ -320,8 +320,8 @@ def a10_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A11_SQL = """
 SELECT p_brand,
-       round(exp(CAST(sum(CAST(ln(p_retailprice) AS DECIMAL(38,12))) AS DOUBLE)
-                 / count(*)), 6) AS geomean_price,
+       floor(exp(CAST(sum(CAST(ln(p_retailprice) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS geomean_price,
        count(*) AS n_parts
 FROM part
 GROUP BY p_brand
@@ -330,10 +330,12 @@ GROUP BY p_brand
 
 @register("a11_geomean_stats", sql=A11_SQL, survey=["A11"])
 def a11_geomean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+
     p = tbl(spark, sf_dir, "part")
     log_sum = F.sum(F.log(F.col("p_retailprice")).cast("decimal(38,12)")).cast("double")
     return p.groupBy("p_brand").agg(
-        F.round(F.exp(log_sum / F.count(F.lit(1))), 6).alias("geomean_price"),
+        pround(F.exp(log_sum / F.count(F.lit(1))), 6).alias("geomean_price"),
         F.count(F.lit(1)).alias("n_parts"),
     )
 
@@ -343,9 +345,12 @@ def a11_geomean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A12_SQL = """
 SELECT c_mktsegment,
-       round(quantile_cont(c_acctbal, 0.5), 6) AS median_acctbal,
-       round(quantile_cont(c_acctbal, 0.25), 6) AS p25_acctbal,
-       round(quantile_cont(c_acctbal, 0.75), 6) AS p75_acctbal
+       floor(quantile_cont(c_acctbal, 0.5) * 1000000.0 + 0.5) / 1000000.0
+         AS median_acctbal,
+       floor(quantile_cont(c_acctbal, 0.25) * 1000000.0 + 0.5) / 1000000.0
+         AS p25_acctbal,
+       floor(quantile_cont(c_acctbal, 0.75) * 1000000.0 + 0.5) / 1000000.0
+         AS p75_acctbal
 FROM customer
 GROUP BY c_mktsegment
 """
@@ -353,11 +358,13 @@ GROUP BY c_mktsegment
 
 @register("a12_median_percentile", sql=A12_SQL, survey=["A12"])
 def a12_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+
     c = tbl(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 6).alias("median_acctbal"),
-        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.25)), 6).alias("p25_acctbal"),
-        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.75)), 6).alias("p75_acctbal"),
+        pround(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 6).alias("median_acctbal"),
+        pround(F.percentile(F.col("c_acctbal"), F.lit(0.25)), 6).alias("p25_acctbal"),
+        pround(F.percentile(F.col("c_acctbal"), F.lit(0.75)), 6).alias("p75_acctbal"),
     )
 
 

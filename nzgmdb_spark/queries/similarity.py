@@ -1,1 +1,284 @@
-# placeholder — filled in as operators land
+"""Similarity search over the embeddings table (BASELINE.json north star):
+brute-force cosine top-k baseline plus an LSH-bucketed approximate variant.
+
+Scale design: embeddings are posexploded to (id, dim, val) long form and
+dot products become an equi-join + aggregation — the layout that shards
+across executors for 100 TB corpora (the query side is tiny and broadcast).
+Determinism: per-dimension products are computed in double then cast to
+DECIMAL(38,12) before summation, making the reduction order irrelevant and
+results bit-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.functions import pround
+from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.tables import tbl
+
+_N_QUERIES = 5  # query set: vec_id < 5
+_TOP_K = 10
+
+# Long-form norm: sqrt of exact decimal sum of squares.
+_NORMS_CTE = """
+dims AS (
+  SELECT vec_id, g.i AS dim, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+)
+"""
+
+KNN_SQL = f"""
+WITH {_NORMS_CTE},
+qdims AS (SELECT vec_id AS q_id, dim, v AS qv FROM dims WHERE vec_id < {_N_QUERIES}),
+dots AS (
+  SELECT q.q_id, d.vec_id AS c_id,
+         CAST(sum(CAST(q.qv * d.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM qdims q JOIN dims d ON q.dim = d.dim
+  WHERE q.q_id <> d.vec_id
+  GROUP BY q.q_id, d.vec_id
+)
+SELECT q_id, c_id AS vec_id, dot / (nq.nrm * nv.nrm) AS cosine
+FROM dots
+JOIN norms nq ON nq.vec_id = q_id
+JOIN norms nv ON nv.vec_id = c_id
+QUALIFY row_number() OVER (
+  PARTITION BY q_id ORDER BY dot / (nq.nrm * nv.nrm) DESC, c_id
+) <= {_TOP_K}
+"""
+
+
+def _dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fv")
+    ).select("vec_id", "dim", F.col("fv").cast("double").alias("v"))
+
+
+def _norms(dims: DataFrame) -> DataFrame:
+    return dims.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).cast("double")
+        ).alias("nrm")
+    )
+
+
+@register("knn_cosine_bruteforce", sql=KNN_SQL, survey=["J14", "A2"], headline=True)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _dims(spark, sf_dir)
+    norms = _norms(dims)
+    qdims = (
+        dims.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "dim", F.col("v").alias("qv"))
+    )
+    dots = (
+        F.broadcast(qdims)
+        .join(dims, "dim")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum((F.col("qv") * F.col("v")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("q_nrm"))
+    nv = norms.select("vec_id", F.col("nrm").alias("v_nrm"))
+    scored = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nv, "vec_id")
+        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("v_nrm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+# --- LSH-bucketed ANN: 8 deterministic hyperplanes whose components are
+# md5-derived integers in [-7.5, 7.5] (portable pseudo-randomness — no RNG,
+# SURVEY §7.3-4 seeding convention). Docs sharing a query's sign-pattern
+# bucket are scored exactly; recall < 1 by construction, cost ∝ bucket size.
+
+_N_PLANES = 8
+
+_PLANES_CTE = f"""
+planes AS (
+  SELECT p.j AS plane, g.i AS dim,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(p.j || '_' || g.i), 1, 1)) - 8.5 AS DOUBLE) AS w
+  FROM UNNEST(generate_series(0, {_N_PLANES - 1})) AS p(j),
+       UNNEST(generate_series(0, 63)) AS g(i)
+),
+projs AS (
+  SELECT d.vec_id, pl.plane,
+         CAST(sum(CAST(d.v * pl.w AS DECIMAL(38,12))) AS DOUBLE) AS proj
+  FROM dims d JOIN planes pl ON d.dim = pl.dim
+  GROUP BY d.vec_id, pl.plane
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane) AS bucket
+  FROM projs GROUP BY vec_id
+)
+"""
+
+ANN_SQL = f"""
+WITH {_NORMS_CTE},
+{_PLANES_CTE},
+qb AS (SELECT vec_id AS q_id, bucket FROM buckets WHERE vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT qb.q_id, b.vec_id
+  FROM qb JOIN buckets b ON qb.bucket = b.bucket AND b.vec_id <> qb.q_id
+),
+qdims AS (SELECT vec_id AS q_id, dim, v AS qv FROM dims WHERE vec_id < {_N_QUERIES}),
+dots AS (
+  SELECT c.q_id, c.vec_id AS c_id,
+         CAST(sum(CAST(q.qv * d.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN qdims q ON q.q_id = c.q_id
+  JOIN dims d ON d.vec_id = c.vec_id AND d.dim = q.dim
+  GROUP BY c.q_id, c.vec_id
+)
+SELECT q_id, c_id AS vec_id, dot / (nq.nrm * nv.nrm) AS cosine
+FROM dots
+JOIN norms nq ON nq.vec_id = q_id
+JOIN norms nv ON nv.vec_id = c_id
+QUALIFY row_number() OVER (
+  PARTITION BY q_id ORDER BY dot / (nq.nrm * nv.nrm) DESC, c_id
+) <= {_TOP_K}
+"""
+
+
+@register("ann_lsh_hyperplane", sql=ANN_SQL, survey=["J14", "J15"])
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _dims(spark, sf_dir)
+    norms = _norms(dims)
+    planes = (
+        spark.range(_N_PLANES)
+        .select(F.col("id").cast("int").alias("plane"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("dim")))
+        .select(
+            "plane",
+            "dim",
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(concat(plane, '_', dim) AS BINARY)), 1, 1), 16, 10) AS DOUBLE) - 7.5"
+                )
+            ).alias("w"),
+        )
+    )
+    projs = (
+        dims.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(
+            F.sum((F.col("v") * F.col("w")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("proj")
+        )
+    )
+    buckets = (
+        projs.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("plane", "proj"))
+                    ),
+                    lambda s: F.when(s.proj >= 0, "1").otherwise("0"),
+                ),
+            ).alias("bucket")
+        )
+    )
+    qb = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("bucket").alias("q_bucket")
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(buckets, (F.col("q_bucket") == F.col("bucket")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "vec_id")
+    )
+    qdims = (
+        dims.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "dim", F.col("v").alias("qv"))
+    )
+    dots = (
+        cand.join(F.broadcast(qdims), "q_id")
+        .join(
+            dims.select(
+                F.col("vec_id").alias("d_vec"),
+                F.col("dim").alias("d_dim"),
+                F.col("v"),
+            ),
+            (F.col("d_vec") == F.col("vec_id")) & (F.col("d_dim") == F.col("dim")),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum((F.col("qv") * F.col("v")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("q_nrm"))
+    nv = norms.select("vec_id", F.col("nrm").alias("v_nrm"))
+    scored = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nv, "vec_id")
+        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("v_nrm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
+# --- Per-label embedding statistics (quality monitoring for a training-data
+# pipeline: centroid norm drift, count per class).
+
+STATS_SQL = f"""
+WITH {_NORMS_CTE}
+SELECT e.label,
+       count(*) AS n_vectors,
+       -- norm doubles sit exactly on 13th-digit .5 boundaries (sqrt of a
+       -- 12-decimal sum ≈ 1 + x/2), where Spark (half-up) and DuckDB
+       -- (half-even) decimal casts disagree — round the average to 6dp.
+       floor(CAST(sum(CAST(n.nrm AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_norm,
+       floor(min(n.nrm) * 1000000.0 + 0.5) / 1000000.0 AS min_norm,
+       floor(max(n.nrm) * 1000000.0 + 0.5) / 1000000.0 AS max_norm
+FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+GROUP BY e.label
+"""
+
+
+@register("embedding_label_stats", sql=STATS_SQL, survey=["A2", "A11"])
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings")
+    dims = _dims(spark, sf_dir)
+    norms = _norms(dims)
+    return (
+        e.join(norms, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            pround(
+                F.sum(F.col("nrm").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_norm"),
+            pround(F.min("nrm"), 6).alias("min_norm"),
+            pround(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )

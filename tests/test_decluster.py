@@ -1,0 +1,101 @@
+"""Golden tests for declustering — ports the reference's only unit-test
+vectors (nzgmdb tests/test_aftershocks.py:53-146 via FIXTURES.md §15)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+from nzgmdb_spark.operators.decluster import (
+    crjb_km,
+    decluster_catalog,
+    resample_polygon_km,
+)
+
+KM_PER_DEG_LAT = 111.19
+
+
+def _square(lat: float, lon: float, side_km: float = 2.0):
+    """Rupture square of side_km centered at (lat, lon)."""
+    dlat = side_km / 2 / KM_PER_DEG_LAT
+    dlon = side_km / 2 / (KM_PER_DEG_LAT * math.cos(math.radians(lat)))
+    return [
+        (lat - dlat, lon - dlon),
+        (lat - dlat, lon + dlon),
+        (lat + dlat, lon + dlon),
+        (lat + dlat, lon - dlon),
+    ]
+
+
+def _epoch(s: str) -> float:
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp()
+
+
+def test_decluster_golden_three_events():
+    # FIXTURES.md §15: mainshock M6.6 claims the nearby next-day M4.5; the
+    # distant M4.2 eight days later stays unclustered.
+    events = [
+        {
+            "evid": "a",
+            "datetime": _epoch("2020-01-01T00:00:00"),
+            "mag": 6.6,
+            "lat": 34.0,
+            "lon": -118.0,
+            "corners": _square(34.0, -118.0),
+        },
+        {
+            "evid": "b",
+            "datetime": _epoch("2020-01-02T00:00:00"),
+            "mag": 4.5,
+            "lat": 34.001,
+            "lon": -118.001,
+            "corners": _square(34.001, -118.001),
+        },
+        {
+            "evid": "c",
+            "datetime": _epoch("2020-01-10T00:00:00"),
+            "mag": 4.2,
+            "lat": 34.2,
+            "lon": -118.2,
+            "corners": _square(34.2, -118.2),
+        },
+    ]
+    aftershock, cluster = decluster_catalog(events, crjb_cutoff_km=10.0)
+    assert aftershock == [0, 1, 0]
+    assert cluster == [1, 1, 0]
+
+
+def test_crjb_inside_polygon_is_zero():
+    sq = _square(34.0, -118.0)
+    assert crjb_km(34.0, -118.0, sq) == 0.0
+
+
+def test_crjb_exterior_distance():
+    # Point ~157 km due north of the square center: CRJB ≈ 157 − 1 (to the
+    # nearer boundary edge), tolerance ±1.5 km (FIXTURES.md §15 ±1 km case).
+    sq = _square(34.0, -118.0)
+    d = crjb_km(34.0 + 157.0 / KM_PER_DEG_LAT, -118.0, sq)
+    assert abs(d - 156.0) < 1.5
+
+
+def test_resample_polygon_spacing():
+    sq = _square(34.0, -118.0)  # 2 km sides → ≥ 2 points per side at 1 km
+    pts = resample_polygon_km(sq, spacing_km=1.0)
+    assert len(pts) >= 8
+
+
+def test_decimal_year_vectors(spark):
+    # {2020-01-01→2020.0, leap-year midpoint (Jan 1 + 183 d = Jul 2
+    # 00:00)→2020.5, 2020-12-31T23:59:59→2020.999999}
+    from pyspark.sql import functions as F
+
+    from nzgmdb_spark.functions import decimal_year
+
+    df = spark.createDataFrame(
+        [("2020-01-01 00:00:00",), ("2020-07-02 00:00:00",), ("2020-12-31 23:59:59",)],
+        ["s"],
+    ).select(decimal_year(F.to_timestamp("s")).alias("dy"))
+    got = [r.dy for r in df.collect()]
+    assert abs(got[0] - 2020.0) < 1e-9
+    assert abs(got[1] - 2020.5) < 1e-9
+    assert abs(got[2] - 2020.999999) < 1e-5
