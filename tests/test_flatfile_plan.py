@@ -1,0 +1,116 @@
+"""Semantic tests for the flatfile assembly + quality chain (SURVEY §3.3),
+asserting the reference's documented behaviors on FIXTURES.md-shaped data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.plans.flatfile import (
+    assemble_flatfile,
+    missing_sites,
+    pivot_gmc,
+    split_components,
+)
+from nzgmdb_spark.plans.quality import run_quality_chain
+from tests.fixtures import EVIDS, build_inputs
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    return build_inputs(spark)
+
+
+@pytest.fixture(scope="module")
+def flat(inputs):
+    df = assemble_flatfile(inputs)
+    df.cache().count()
+    return df
+
+
+def test_gmc_pivot_means(inputs):
+    out = pivot_gmc(inputs.gmc)
+    assert set(out.columns) == {
+        "record_id",
+        *[f"{m}_{c}" for c in "XYZ" for m in ("score_mean", "fmin_mean", "multi_mean")],
+    }
+    # two runs per (record, comp) → pivoted value equals their mean
+    rec = inputs.gmc.limit(1).collect()[0].record
+    raw = (
+        inputs.gmc.filter((F.col("record") == rec) & (F.col("component") == "X"))
+        .agg(F.avg("score_mean"))
+        .collect()[0][0]
+    )
+    got = out.filter(F.col("record_id") == rec).collect()[0].score_mean_X
+    assert abs(got - raw) < 1e-12
+
+
+def test_strike_rake_normalized(flat):
+    ev0 = flat.filter(F.col("evid") == EVIDS[0]).limit(1).collect()[0]
+    assert ev0.ev_strike == 0.0  # 360 → 0
+    ev1 = flat.filter(F.col("evid") == EVIDS[1]).limit(1).collect()[0]
+    assert ev1.ev_rake == -160.0  # 200 → −160
+
+
+def test_inventory_fallback_coalesce(flat):
+    # BBB has null site coords → falls back to inventory values
+    row = flat.filter(F.col("sta") == "BBB").limit(1).collect()[0]
+    assert row.sta_lat is not None and row.sta_lon is not None
+    # EEE is not in the site table at all → inventory-only
+    row = flat.filter(F.col("sta") == "EEE").limit(1).collect()[0]
+    assert row.sta_lat is not None
+
+
+def test_ground_level_rule(flat):
+    # AAA loc 20 (Depth 0) is ground level; CCC single-location default True
+    a = flat.filter((F.col("sta") == "AAA") & (F.col("loc") == "20")).limit(1).collect()[0]
+    assert a.is_ground_level
+    c = flat.filter(F.col("sta") == "CCC").limit(1).collect()[0]
+    assert c.is_ground_level
+
+
+def test_propagation_dedup_keeps_one(flat):
+    # the duplicated (evid, sta) propagation pair must not duplicate facts
+    n_facts = flat.count()
+    base = flat.select("record_id", "component").distinct().count()
+    assert n_facts == base
+
+
+def test_bypass_override_applied(flat):
+    rec = f"{EVIDS[0]}_AAA_HN_20"
+    row = flat.filter((F.col("record_id") == rec) & (F.col("component") == "000")).collect()[0]
+    assert abs(row.fmin_mean_X - 0.123456) < 1e-12  # overridden
+    assert row.fmin_mean_Y is not None  # original (coalesce kept non-null)
+
+
+def test_fmin_max_rowwise(flat):
+    row = flat.limit(1).collect()[0]
+    assert row.fmin_max == max(row.fmin_mean_X, row.fmin_mean_Y, row.fmin_mean_Z)
+
+
+def test_missing_sites_ledger(inputs):
+    out = missing_sites(inputs.im_catalogue, inputs.site)
+    assert {r.sta for r in out.collect()} == {"EEE"}
+
+
+def test_component_split_drops_invalid(flat):
+    parts = split_components(flat)
+    assert "CAV" not in parts["rotd50"].columns
+    assert "PGA" not in parts["eas"].columns
+    assert "PGA" in parts["000"].columns
+    # fan-out partitions the fact table exactly
+    assert sum(p.count() for p in parts.values()) == flat.count()
+
+
+def test_quality_chain_ledger(flat):
+    kept, skipped = run_quality_chain(flat)
+    n_in, n_kept, n_skipped = flat.count(), kept.count(), skipped.count()
+    assert n_kept + n_skipped == n_in
+    reasons = {r.reason for r in skipped.select("reason").distinct().collect()}
+    assert any("Vs30" in r for r in reasons)  # CCC has null Vs30
+    # BN duplicate of an HN pair must land in the ledger (dropped by the
+    # null-score pass before the channel pass sees it — passes run in order)
+    bn_skipped = skipped.filter(F.col("record_id").contains("_BN_")).count()
+    assert bn_skipped > 0
+    # kept rows all satisfy the ground-level + Vs30 predicates
+    assert kept.filter(F.col("site_Vs30").isNull()).count() == 0
