@@ -106,11 +106,13 @@ def test_quality_chain_ledger(flat):
     kept, skipped = run_quality_chain(flat)
     n_in, n_kept, n_skipped = flat.count(), kept.count(), skipped.count()
     assert n_kept + n_skipped == n_in
-    reasons = {r.reason for r in skipped.select("reason").distinct().collect()}
-    assert any("Vs30" in r for r in reasons)  # CCC has null Vs30
-    # BN duplicate of an HN pair must land in the ledger (dropped by the
-    # null-score pass before the channel pass sees it — passes run in order)
-    bn_skipped = skipped.filter(F.col("record_id").contains("_BN_")).count()
-    assert bn_skipped > 0
-    # kept rows all satisfy the ground-level + Vs30 predicates
+    # every skip carries a reason; passes run sequentially so the first
+    # failing pass owns the reason (reference semantics)
+    assert skipped.filter(F.col("reason").isNull()).count() == 0
+    # the BN duplicate must not survive the chain (its GMC scores are null →
+    # dropped by the score pass before the channel-preference pass sees it)
+    assert kept.filter(F.col("record_id").contains("_BN_")).count() == 0
+    assert skipped.filter(F.col("record_id").contains("_BN_")).count() > 0
+    # kept rows satisfy every pass predicate
     assert kept.filter(F.col("site_Vs30").isNull()).count() == 0
+    assert kept.filter(F.col("score_mean_X") < 0.5).count() == 0
