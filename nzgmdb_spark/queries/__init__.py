@@ -15,6 +15,8 @@ from nzgmdb_spark.queries.registry import REGISTRY, QuerySpec, register  # noqa:
 _MODULES = (
     "nzgmdb_spark.queries.tpch",
     "nzgmdb_spark.queries.relational",
+    "nzgmdb_spark.queries.relational_ext",
+    "nzgmdb_spark.queries.geo",
     "nzgmdb_spark.queries.windows",
     "nzgmdb_spark.queries.timeseries",
     "nzgmdb_spark.queries.text",

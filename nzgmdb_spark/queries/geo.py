@@ -1,0 +1,164 @@
+"""Geospatial query battery (SURVEY.md §2.3 J13-J15, §2.8 F12).
+
+Points are derived deterministically from the synthetic `events` table
+(integer-mod arithmetic → identical doubles on Spark and DuckDB), the
+geometry is inline broadcast data, and the containment / distance kernels
+use arithmetic that is bit-identical between numpy (Spark side) and the
+SQL oracle — so even the pandas-UDF spatial joins are value-hash-checked.
+
+Reference semantics: tectonic-domain assignment tect_domain.py:306-369
+(unmatched → (0, 'Oceanic')), nearest fault-grid point
+tect_domain.py:235-272, stations-within-radius geonet.py:201-245.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.functions import haversine_km, pround
+from nzgmdb_spark.operators.geo import assign_polygon, nearest_point, radius_join
+from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.tables import tbl
+
+# Deterministic NZ-ish coordinates from integer keys (exact in doubles).
+# Explicit DOUBLE casts: bare `100.0` parses as DECIMAL on both Spark and
+# DuckDB, and decimal arithmetic would diverge from the numpy kernels.
+_LAT = "CAST(-48.0 AS DOUBLE) + CAST(event_id % 1300 AS DOUBLE) / CAST(100.0 AS DOUBLE)"
+# lon uses a modulus coprime to 1300 so (lat, lon) pairs tile the 2-D box
+# (user_id only spans ~150 values in the synthetic data — deriving lon from
+# it left every point >600 km from every station).
+_LON = "CAST(166.0 AS DOUBLE) + CAST(event_id % 1171 AS DOUBLE) / CAST(90.0 AS DOUBLE)"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr(_LAT).alias("lat"),
+        F.expr(_LON).alias("lon"),
+    )
+
+
+# Convex polygons, counter-clockwise in the (lon, lat) plane:
+# (domain_no, domain_type, vertices as (lat, lon)).
+_POLYGONS = [
+    (1, "Crustal", np.array([(-44.0, 168.0), (-44.0, 173.0), (-40.0, 173.0), (-40.0, 168.0)])),
+    (2, "Interface", np.array([(-39.0, 174.0), (-39.0, 178.0), (-36.0, 176.0)])),
+    (3, "Slab", np.array([(-47.0, 166.5), (-47.0, 169.5), (-44.5, 169.5), (-44.5, 166.5)])),
+]
+
+# SQL mirror: per-edge cross products (x2-x1)*(lat-y1) - (y2-y1)*(lon-x1)
+# with constants pre-folded — the same IEEE operation sequence the numpy
+# kernel runs. Rectangle edges reduce to sign-preserving comparisons.
+_D1 = "(lat >= -44.0 AND lon <= 173.0 AND lat <= -40.0 AND lon >= 168.0)"
+_D2 = (
+    "((4.0*(lat - -39.0)) >= 0"
+    " AND ((-2.0)*(lat - -39.0) - (3.0)*(lon - 178.0)) >= 0"
+    " AND ((-2.0)*(lat - -36.0) - (-3.0)*(lon - 176.0)) >= 0)"
+)
+_D3 = "(lat >= -47.0 AND lon <= 169.5 AND lat <= -44.5 AND lon >= 166.5)"
+
+J13_SQL = f"""
+WITH pts AS (
+    SELECT event_id, {_LAT} AS lat, {_LON} AS lon FROM events
+)
+SELECT event_id, lat, lon,
+       CASE WHEN {_D1} THEN 1 WHEN {_D2} THEN 2 WHEN {_D3} THEN 3
+            ELSE 0 END AS domain_no,
+       CASE WHEN {_D1} THEN 'Crustal' WHEN {_D2} THEN 'Interface'
+            WHEN {_D3} THEN 'Slab' ELSE 'Oceanic' END AS domain_type
+FROM pts
+"""
+
+
+@register("j13_point_in_polygon", sql=J13_SQL, survey=["J13", "K16"])
+def j13_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_polygon(_points(spark, sf_dir), _POLYGONS)
+
+
+# --- J15: nearest-point lookup over a broadcast grid.
+
+_GRID_LATS = [-47.0, -43.0, -39.0, -35.0]
+_GRID_LONS = [167.0, 170.5, 174.0, 177.5]
+_GRID = np.array(
+    [(la, lo) for la in _GRID_LATS for lo in _GRID_LONS], dtype=np.float64
+)
+
+_GRID_VALUES = ", ".join(
+    f"({i}, {la}, {lo})"
+    for i, (la, lo) in enumerate((la, lo) for la in _GRID_LATS for lo in _GRID_LONS)
+)
+
+J15_SQL = f"""
+WITH pts AS (
+    SELECT event_id, {_LAT} AS lat, {_LON} AS lon FROM events
+),
+grid AS (
+    SELECT gid, CAST(glat AS DOUBLE) AS glat, CAST(glon AS DOUBLE) AS glon
+    FROM (VALUES {_GRID_VALUES}) AS t(gid, glat, glon)
+),
+scored AS (
+    SELECT p.event_id, p.lat, p.lon, g.gid,
+           (p.lat - g.glat) * (p.lat - g.glat)
+             + (p.lon - g.glon) * (p.lon - g.glon) AS d2,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.event_id ORDER BY
+               (p.lat - g.glat) * (p.lat - g.glat)
+                 + (p.lon - g.glon) * (p.lon - g.glon), g.gid
+           ) AS rn
+    FROM pts p CROSS JOIN grid g
+)
+SELECT event_id, lat, lon, CAST(gid AS INT) AS grid_id, d2 AS grid_dist2
+FROM scored WHERE rn = 1
+"""
+
+
+@register("j15_nearest_grid_point", sql=J15_SQL, survey=["J15", "K12"])
+def j15_nearest_grid_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nearest_point(_points(spark, sf_dir), _GRID)
+
+
+# --- J14/F12: radius join against a broadcast station inventory using
+# great-circle (haversine) distance. Distances are rounded to 3 decimals
+# (metres) so last-ulp libm differences between JVM and DuckDB trig cannot
+# flip the hash.
+
+_STATIONS = [
+    ("WEL", -41.28, 174.77),
+    ("CHCH", -43.53, 172.63),
+    ("DUD", -45.87, 170.5),
+    ("AKL", -36.85, 174.76),
+    ("ROT", -38.14, 176.25),
+]
+
+_STA_VALUES = ", ".join(f"('{s}', {la}, {lo})" for s, la, lo in _STATIONS)
+
+J14_SQL = f"""
+WITH pts AS (
+    SELECT event_id, {_LAT} AS lat, {_LON} AS lon FROM events
+),
+sta(sta, sta_lat, sta_lon) AS (VALUES {_STA_VALUES}),
+pairs AS (
+    SELECT p.event_id, s.sta,
+           2.0 * 6371.0088 * ASIN(SQRT(
+               POW(SIN(RADIANS(s.sta_lat - p.lat) / 2), 2)
+               + COS(RADIANS(p.lat)) * COS(RADIANS(s.sta_lat))
+                 * POW(SIN(RADIANS(s.sta_lon - p.lon) / 2), 2)
+           )) AS dist_km
+    FROM pts p CROSS JOIN sta s
+)
+SELECT event_id, sta,
+       FLOOR(dist_km * 1000.0 + 0.5) / 1000.0 AS dist_km_r
+FROM pairs WHERE dist_km <= 150.0
+"""
+
+
+@register("j14_radius_join", sql=J14_SQL, survey=["J14", "F12"])
+def j14_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stations = spark.createDataFrame(_STATIONS, ["sta", "sta_lat", "sta_lon"])
+    joined = radius_join(_points(spark, sf_dir), stations, 150.0)
+    return joined.select(
+        "event_id", "sta", pround("dist_km", 3).alias("dist_km_r")
+    )

@@ -1,0 +1,44 @@
+"""Unit tests for the geospatial kernels (operators/geo.py).
+
+The Spark-level semantics are covered by the oracle-parity tests
+(j13/j14/j15); these pin the numpy kernels themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nzgmdb_spark.operators.geo import convex_contains, raycast_contains
+
+SQUARE = np.array([(-44.0, 168.0), (-44.0, 173.0), (-40.0, 173.0), (-40.0, 168.0)])
+
+
+def test_convex_contains_square():
+    lat = np.array([-42.0, -45.0, -41.0, -39.9])
+    lon = np.array([170.0, 170.0, 175.0, 170.0])
+    assert convex_contains(lat, lon, SQUARE).tolist() == [True, False, False, False]
+
+
+def test_convex_boundary_inclusive():
+    lat = np.array([-44.0, -40.0])
+    lon = np.array([168.0, 173.0])
+    assert convex_contains(lat, lon, SQUARE).all()
+
+
+def test_raycast_agrees_on_convex_interior():
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-46.0, -38.0, 500)
+    lon = rng.uniform(166.0, 175.0, 500)
+    a = convex_contains(lat, lon, SQUARE)
+    b = raycast_contains(lat, lon, SQUARE)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_raycast_concave():
+    # L-shaped polygon: the notch (upper-right quadrant) is outside.
+    poly = np.array(
+        [(0.0, 0.0), (0.0, 4.0), (2.0, 4.0), (2.0, 2.0), (4.0, 2.0), (4.0, 0.0)]
+    )
+    lat = np.array([1.0, 3.0, 3.0, 1.0])
+    lon = np.array([1.0, 1.0, 3.0, 3.0])
+    assert raycast_contains(lat, lon, poly).tolist() == [True, True, False, True]
