@@ -1,0 +1,206 @@
+"""Source/sink query battery (SURVEY.md §2.1).
+
+Each query exercises a real on-disk format round-trip — CSV with explicit
+schemas, whitespace text, partitioned parquet with resume semantics, binary
+blob scan + decode — and is still DuckDB-oracle-checked: the staged inputs
+are derived deterministically from the synthetic tables, so the oracle can
+recompute the expected result from the parquet alone.
+
+Staging writes go under /tmp/nzgmdb_spark_io/<sf>/ and are idempotent
+(skipped when the _SUCCESS marker or file already exists), mirroring the
+reference's checkpoint-by-output-existence convention (run_nzgmdb.py:845+).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.functions import dsum
+from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.tables import tbl
+from nzgmdb_spark.sources.csv_io import read_csv_table, read_whitespace_table
+from nzgmdb_spark.sources.files import (
+    read_partitioned,
+    write_partitioned_idempotent,
+)
+from nzgmdb_spark.sources.waveforms import (
+    decode_waveform_blobs,
+    read_waveform_blobs,
+)
+
+
+def _stage_dir(sf_dir: str, name: str) -> str:
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/tmp/nzgmdb_spark_io/{key}/{name}"
+
+
+# --- S5/S12: schema'd CSV sink + scan round-trip. Writes the orders table
+# as CSV once, reads it back with an explicit StructType (string keys stay
+# strings, dates stay dates), and aggregates. The oracle aggregates the
+# original parquet — a hash match proves the CSV round-trip is lossless.
+
+ORDERS_CSV_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+S5_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("s5_csv_roundtrip_scan", sql=S5_SQL, survey=["S5", "S12", "S6"])
+def s5_csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_dir(sf_dir, "orders_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        # Column order must match the read schema: CSV is positional.
+        cols = [f.split()[0] for f in ORDERS_CSV_SCHEMA.split(", ")]
+        orders.select(*cols).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+    csv_orders = read_csv_table(spark, path, ORDERS_CSV_SCHEMA)
+    return csv_orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+# --- S8: whitespace-text scan (np.loadtxt equivalent). The staged file is
+# a deterministic magnitude→radius lookup (the Mw_rrup.txt shape,
+# geonet.py:907); the oracle recomputes it as an inline VALUES table. The
+# query then uses it the way the reference does: a broadcast range lookup
+# joined to events (J12's 1-D lookup pattern, binned form).
+
+_MW_ROWS = [(round(3.0 + 0.5 * i, 1), float(25 * (i + 1))) for i in range(12)]
+_MW_VALUES = ", ".join(f"({m}, {r})" for m, r in _MW_ROWS)
+
+S8_SQL = f"""
+WITH mw(mag, radius_km) AS (VALUES {_MW_VALUES}),
+ev AS (
+    SELECT event_id,
+           CAST(3.0 AS DOUBLE) + CAST(event_id % 60 AS DOUBLE)
+             / CAST(10.0 AS DOUBLE) AS mag
+    FROM events
+)
+SELECT ev.event_id, ev.mag, m.radius_km
+FROM ev
+JOIN mw m ON m.mag = FLOOR(ev.mag * 2.0) / 2.0
+"""
+
+
+@register("s8_whitespace_scan_lookup", sql=S8_SQL, survey=["S8", "J12"])
+def s8_whitespace_scan_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_dir(sf_dir, "mw_rrup")
+    path = os.path.join(stage, "mw_rrup.txt")
+    if not os.path.exists(path):
+        os.makedirs(stage, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("# Mw rrup lookup (synthetic)\n")
+            for m, r in _MW_ROWS:
+                f.write(f"{m} {r}\n")
+        os.replace(tmp, path)
+    mw = read_whitespace_table(spark, path, "mag double, radius_km double")
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "CAST(3.0 AS DOUBLE) + CAST(event_id % 60 AS DOUBLE)"
+            " / CAST(10.0 AS DOUBLE)"
+        ).alias("mag"),
+    )
+    ev = ev.withColumn("mag_bin", F.floor(F.col("mag") * 2.0) / 2.0)
+    return (
+        ev.join(F.broadcast(mw), mw.mag == ev.mag_bin)
+        .select("event_id", ev.mag.alias("mag"), "radius_km")
+    )
+
+
+# --- S10/S14: idempotent partitioned sink + resume, then a pruned read.
+# Writes events partitioned by event_type (low-cardinality key — bounded
+# file count at any scale); the re-read filters one partition so the scan
+# opens only that directory (partition pruning). Oracle: same filter on the
+# original parquet.
+
+S14_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+"""
+
+
+@register(
+    "s14_partitioned_sink_resume", sql=S14_SQL, survey=["S10", "S14", "S11"]
+)
+def s14_partitioned_sink_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_dir(sf_dir, "events_by_type")
+    events = tbl(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # First call writes; every later call is a no-op resume.
+    write_partitioned_idempotent(events, path, ["event_type"])
+    back = read_partitioned(spark, path)
+    return (
+        back.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+# --- S9/S13: binary blob scan + decode. Stages one binary file per
+# document (content = UTF-8 text bytes), scans them with the binaryFile
+# source, and decodes with the deterministic synthetic decoder whose
+# n_samples is a pure function of sha256(blob) — which DuckDB can
+# recompute from the text column, so even the binary path is value-checked.
+# Capped at 200 files: blob-per-record is the layout the reference uses,
+# but a file per row is exactly what large scale must avoid (the parquet
+# binary column IS the scale path; see decode_waveform_blobs docstring).
+
+S9_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       256 + 4 * CAST(('0x' || substr(sha256(text), 17, 2)) AS INT)
+         AS n_samples,
+       CAST(0.01 AS DOUBLE) AS dt
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+@register("s9_binary_blob_decode", sql=S9_SQL, survey=["S9", "S13", "F11"])
+def s9_binary_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_dir(sf_dir, "doc_blobs")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+            .collect()
+        )
+        os.makedirs(stage, exist_ok=True)
+        for row in docs:
+            with open(os.path.join(stage, f"{row.doc_id}.blob"), "wb") as f:
+                f.write(row.text.encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("")
+    blobs = read_waveform_blobs(spark, stage, pattern="*.blob")
+    decoded = decode_waveform_blobs(blobs)
+    return decoded.select("record_id", "n_samples", "dt")

@@ -1,0 +1,153 @@
+"""Offline tests for the network-backed sources (remote.py) and waveform
+sinks — injectable transports, no network. The on-disk formats (S5, S8,
+S9, S14) are covered by the oracle-parity battery via queries/sources_io.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nzgmdb_spark.sources.remote import (
+    fdsn_station_inventory,
+    fetch_waveforms_distributed,
+    geonet_quakesearch,
+    github_directory_scan,
+    read_polygon_layer_geojson,
+)
+from nzgmdb_spark.sources.waveforms import (
+    decode_waveform_blobs,
+    synthetic_decoder,
+    write_waveform_ascii,
+)
+
+
+def test_geonet_quakesearch_chunks(spark):
+    calls = []
+
+    def fake_fetch(url: str) -> str:
+        calls.append(url)
+        if "/count" in url:
+            return json.dumps({"dates": ["2020-01-01", "2020-06-01", "2021-01-01"]})
+        hdr = "publicid,eventtype,origintime,longitude,latitude,depth,magnitude"
+        if "startdate=2020-01-01" in url:
+            return f"{hdr}\n2020p1,earthquake,2020-02-01T00:00:00,174.0,-41.0,10.0,5.2\n"
+        return f"{hdr}\n2020p2,earthquake,2020-08-01T00:00:00,175.0,-42.0,20.0,4.1\n"
+
+    df = geonet_quakesearch(
+        spark, "http://x/geonet", "bbox", "2020-01-01", "2021-01-01", fake_fetch
+    )
+    rows = {r.publicid: r for r in df.collect()}
+    # one count call + one CSV call per suggested chunk
+    assert len([c for c in calls if "/count" in c]) == 1
+    assert len([c for c in calls if "/csv" in c]) == 2
+    assert set(rows) == {"2020p1", "2020p2"}
+    assert rows["2020p1"].magnitude == 5.2
+    assert rows["2020p2"].depth == 20.0
+
+
+def test_fdsn_station_inventory_flatten(spark):
+    text = (
+        "#Network|Station|Location|Channel|Latitude|Longitude|Elevation\n"
+        "NZ|WEL|10|HNZ|-41.28|174.77|20.0\n"
+        "NZ|WEL|10|HN1|-41.28|174.77|20.0\n"
+        "NZ|AKL|20|BNZ|-36.85|174.76|30.0\n"
+    )
+    df = fdsn_station_inventory(spark, "http://x/fdsn", fetch=lambda u: text)
+    assert df.count() == 3
+    akl = df.filter("sta = 'AKL'").collect()[0]
+    assert (akl.net, akl.chan, akl.elev) == ("NZ", "BNZ", 30.0)
+
+
+def test_fetch_waveforms_retry_and_skip(spark):
+    pairs = spark.createDataFrame(
+        [("ev1", "NZ", "WEL"), ("ev2", "NZ", "BAD")],
+        "evid string, net string, sta string",
+    )
+    attempts: dict[str, int] = {}
+
+    def fetch_bytes(url: str) -> bytes:
+        attempts[url] = attempts.get(url, 0) + 1
+        if "BAD" in url:
+            raise OSError("503 Service Unavailable")
+        if attempts[url] < 2:
+            raise OSError("IncompleteRead")
+        return b"MSEED" + url.encode()
+
+    out = fetch_waveforms_distributed(
+        pairs, "http://x/{evid}/{net}/{sta}", fetch_bytes, retries=3
+    ).collect()
+    by_evid = {r.evid: r for r in out}
+    assert by_evid["ev1"].content is not None  # succeeded on retry
+    assert by_evid["ev1"].skip_reason is None
+    assert by_evid["ev2"].content is None  # exhausted retries → skipped
+    assert "503" in by_evid["ev2"].skip_reason
+
+
+def test_polygon_layer_geojson(spark):
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "TVZ", "domain_no": 4},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[175.0, -39.0], [176.0, -39.0], [176.0, -38.0], [175.0, -39.0]]],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "pt"},
+                "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+            },
+        ],
+    }
+    df = read_polygon_layer_geojson(spark, json.dumps(doc))
+    rows = df.collect()
+    assert len(rows) == 1  # non-polygon features skipped
+    assert rows[0].name == "TVZ"
+    # vertices stored as (lat, lon)
+    assert rows[0].vertices[0] == [-39.0, 175.0]
+
+
+def test_github_directory_scan_recursive(spark):
+    tree = {
+        "http://api/root": [
+            {"type": "dir", "name": "2016", "url": "http://api/2016"},
+            {"type": "file", "name": "readme.md", "download_url": "http://raw/readme"},
+        ],
+        "http://api/2016": [
+            {"type": "file", "name": "2016p858000.csv", "download_url": "http://raw/2016p858000"},
+        ],
+    }
+    df = github_directory_scan(
+        spark, "http://api/root", fetch=lambda u: json.dumps(tree[u])
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].name == "2016p858000"
+    assert rows[0].download_url == "http://raw/2016p858000"
+
+
+def test_waveform_ascii_sink(spark, tmp_path):
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    (blob_dir / "ev1_WEL_HN_10.mseed").write_bytes(b"alpha")
+    (blob_dir / "ev2_AKL_BN_20.mseed").write_bytes(b"beta")
+
+    from nzgmdb_spark.sources.waveforms import read_waveform_blobs
+
+    blobs = read_waveform_blobs(spark, str(blob_dir))
+    waveforms = decode_waveform_blobs(blobs)
+    manifest = write_waveform_ascii(waveforms, str(tmp_path / "ascii")).collect()
+    assert len(manifest) == 6  # 2 records × 3 components
+    m = {(r.record_id, r.component): r for r in manifest}
+    ref = synthetic_decoder("ev1_WEL_HN_10.mseed", b"alpha")
+    assert m[("ev1_WEL_HN_10", "000")].n_samples == ref["n_samples"]
+    # file content round-trips: header + wrapped values
+    with open(m[("ev1_WEL_HN_10", "000")].path) as f:
+        header = f.readline().split()
+    assert header[0] == "ev1_WEL_HN_10"
+    assert int(header[3]) == ref["n_samples"]
