@@ -1,0 +1,581 @@
+"""Kernel-operator query battery (SURVEY.md §2.9 K7-K18, §2.5 W5, §2.10).
+
+The numeric kernels that ARE oracle-checkable get DuckDB SQL twins — the
+distance kernels use only IEEE add/mul/div/sqrt/min/max with pre-folded
+trig constants, decision trees are CASE logic, and the stubbed model
+scorers (ClipNet, PhaseNet) are deterministic array arithmetic. The
+genuinely non-SQL kernels (seeded Monte Carlo, sequential declustering,
+the waveform signal chain) register with ``sql=None`` → the driver's
+rows-only check; their numerics are pinned by golden tests instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.operators.distances import KX, KY, rupture_distances, tvz_path_fraction
+from nzgmdb_spark.queries.geo import _LAT, _LON, _points
+from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.tables import tbl
+
+# Shared synthetic event attributes (exact in doubles on both engines).
+_MAG = (
+    "CAST(3.0 AS DOUBLE) + CAST(event_id % 60 AS DOUBLE) / CAST(10.0 AS DOUBLE)"
+)
+_DEPTH = (
+    "CAST(5.0 AS DOUBLE) + CAST(event_id % 40 AS DOUBLE) / CAST(2.0 AS DOUBLE)"
+)
+
+# km-per-degree constants as full-precision string literals: DuckDB parses
+# bare decimal literals as DECIMAL, so both sides CAST the repr() string —
+# strtod gives the identical nearest double.
+_KX = f"CAST('{KX!r}' AS DOUBLE)"
+_KY = f"CAST('{KY!r}' AS DOUBLE)"
+
+
+# --- K12/K13: rupture distances against broadcast fault-plane grids.
+
+_PLANES = []
+for p, (la0, lo0, dep0) in enumerate([(-42.0, 172.0, 5.0), (-39.5, 175.8, 12.0)]):
+    for i in range(3):
+        for j in range(3):
+            _PLANES.append((la0 + 0.1 * i, lo0 + 0.15 * j, dep0 + 3.0 * j))
+_GRID = np.array(_PLANES, dtype=np.float64)
+
+_GRID_VALUES = ", ".join(f"({la}, {lo}, {dp})" for la, lo, dp in _PLANES)
+
+K13_SQL = f"""
+WITH pts AS (
+    SELECT event_id, {_LAT} AS lat, {_LON} AS lon, {_DEPTH} AS depth
+    FROM events
+),
+grid(glat, glon, gdep) AS (VALUES {_GRID_VALUES})
+SELECT event_id, lat, lon, depth,
+       MIN(SQRT((lon - glon) * {_KX} * ((lon - glon) * {_KX})
+                + (lat - glat) * {_KY} * ((lat - glat) * {_KY}))) AS r_jb,
+       MIN(SQRT((lon - glon) * {_KX} * ((lon - glon) * {_KX})
+                + (lat - glat) * {_KY} * ((lat - glat) * {_KY})
+                + (depth - gdep) * (depth - gdep))) AS r_rup
+FROM pts CROSS JOIN grid
+GROUP BY event_id, lat, lon, depth
+"""
+
+
+@register("k13_rupture_distances", sql=K13_SQL, survey=["K12", "K13"])
+def k13_rupture_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir).withColumn("depth", F.expr(_DEPTH))
+    return rupture_distances(pts, _GRID)
+
+
+# --- K14: TVZ path metrics (Liang-Barsky box clipping, closed form).
+
+_TVZ_BOX = (-39.5, -38.0, 175.5, 176.5)  # lat_lo, lat_hi, lon_lo, lon_hi
+_TVZ_STA = (-41.285, 174.775)  # off the event lattice: directions never 0
+
+K14_SQL = f"""
+WITH pts AS (
+    SELECT event_id, {_LAT} AS lat, {_LON} AS lon FROM events
+),
+t AS (
+    SELECT event_id, lat, lon,
+           ({_TVZ_STA[0]} - lat) AS dlat,
+           ({_TVZ_STA[1]} - lon) AS dlon
+    FROM pts
+),
+c AS (
+    SELECT event_id, lat, lon, dlat, dlon,
+           LEAST(({_TVZ_BOX[0]} - lat) / dlat, ({_TVZ_BOX[1]} - lat) / dlat)
+             AS tmin_y,
+           GREATEST(({_TVZ_BOX[0]} - lat) / dlat, ({_TVZ_BOX[1]} - lat) / dlat)
+             AS tmax_y,
+           LEAST(({_TVZ_BOX[2]} - lon) / dlon, ({_TVZ_BOX[3]} - lon) / dlon)
+             AS tmin_x,
+           GREATEST(({_TVZ_BOX[2]} - lon) / dlon, ({_TVZ_BOX[3]} - lon) / dlon)
+             AS tmax_x
+    FROM t
+)
+SELECT event_id, lat, lon,
+       SQRT(dlon * {_KX} * (dlon * {_KX}) + dlat * {_KY} * (dlat * {_KY}))
+         AS seg_km,
+       GREATEST(LEAST(tmax_x, tmax_y, 1.0) - GREATEST(tmin_x, tmin_y, 0.0), 0.0)
+         * SQRT(dlon * {_KX} * (dlon * {_KX}) + dlat * {_KY} * (dlat * {_KY}))
+         + 0.0 AS r_tvz,
+       GREATEST(LEAST(tmax_x, tmax_y, 1.0) - GREATEST(tmin_x, tmin_y, 0.0), 0.0)
+         + 0.0 AS tvz_frac
+FROM c
+"""
+# The `+ 0.0` canonicalizes IEEE negative zero (DuckDB's GREATEST can
+# return -0.0): the reference has the same fix as its F15 operator,
+# `replace(-0.0, 0.0)` at merge_flatfiles.py:426. The numpy kernel already
+# emits +0.0, and (-0.0 + 0.0) == +0.0 on both engines.
+
+
+@register("k14_tvz_path_metrics", sql=K14_SQL, survey=["K14"])
+def k14_tvz_path_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tvz_path_fraction(_points(spark, sf_dir), _TVZ_BOX, _TVZ_STA)
+
+
+# --- K17/A1: preferred-magnitude decision tree over synthetic station
+# magnitudes (reference geonet.py:124-173: argmax-by-station-count per
+# mag_type, then a type-preference CASE chain).
+
+_SM_DIM = [("mb", 0), ("ml", 1), ("mlv", 2)]
+
+K17_SQL = f"""
+WITH ev AS (
+    SELECT event_id, {_MAG} AS base_mag FROM events
+),
+sm AS (
+    SELECT ev.event_id,
+           d.mag_type,
+           ev.base_mag + CAST(d.t AS DOUBLE) / CAST(10.0 AS DOUBLE)
+             + CAST(s.s AS DOUBLE) / CAST(20.0 AS DOUBLE) AS mag,
+           1 + (ev.event_id + 7 * d.t + 13 * s.s) % 25 AS station_count
+    FROM ev
+    CROSS JOIN (VALUES ('mb', 0), ('ml', 1), ('mlv', 2)) AS d(mag_type, t)
+    CROSS JOIN (VALUES (0), (1)) AS s(s)
+),
+agg AS (
+    SELECT event_id,
+           arg_max(mag, station_count) FILTER (mag_type = 'mb') AS mag_mb,
+           arg_max(mag, station_count) FILTER (mag_type = 'ml') AS mag_ml,
+           arg_max(mag, station_count) FILTER (mag_type = 'mlv') AS mag_mlv,
+           SUM(station_count) FILTER (mag_type = 'mb') AS cnt_mb,
+           SUM(station_count) FILTER (mag_type = 'ml') AS cnt_ml,
+           SUM(station_count) FILTER (mag_type = 'mlv') AS cnt_mlv
+    FROM sm GROUP BY event_id
+)
+SELECT event_id,
+       CASE WHEN cnt_mb >= 20 THEN 'mb'
+            WHEN cnt_ml >= cnt_mlv THEN 'ml'
+            ELSE 'mlv' END AS pref_type,
+       CASE WHEN cnt_mb >= 20 THEN mag_mb
+            WHEN cnt_ml >= cnt_mlv THEN mag_ml
+            ELSE mag_mlv END AS pref_mag,
+       CAST(cnt_mb AS BIGINT) AS cnt_mb,
+       CAST(cnt_ml AS BIGINT) AS cnt_ml,
+       CAST(cnt_mlv AS BIGINT) AS cnt_mlv
+FROM agg
+"""
+
+
+@register("k17_preferred_magnitude", sql=K17_SQL, survey=["K17", "A1"])
+def k17_preferred_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", F.expr(_MAG).alias("base_mag")
+    )
+    dim = ev.sparkSession.createDataFrame(
+        [(t, ti, s) for t, ti in _SM_DIM for s in (0, 1)],
+        "mag_type string, t int, s int",
+    )
+    sm = ev.crossJoin(F.broadcast(dim)).select(
+        "event_id",
+        "mag_type",
+        (
+            F.col("base_mag")
+            + F.col("t").cast("double") / F.lit(10.0)
+            + F.col("s").cast("double") / F.lit(20.0)
+        ).alias("mag"),
+        (1 + (F.col("event_id") + 7 * F.col("t") + 13 * F.col("s")) % 25).alias(
+            "station_count"
+        ),
+    )
+
+    def typed(tname: str, expr):
+        return expr.alias(tname)
+
+    agg = sm.groupBy("event_id").agg(
+        typed("mag_mb", F.max_by("mag", F.when(F.col("mag_type") == "mb", F.col("station_count")))),
+        typed("mag_ml", F.max_by("mag", F.when(F.col("mag_type") == "ml", F.col("station_count")))),
+        typed("mag_mlv", F.max_by("mag", F.when(F.col("mag_type") == "mlv", F.col("station_count")))),
+        F.sum(F.when(F.col("mag_type") == "mb", F.col("station_count"))).alias("cnt_mb"),
+        F.sum(F.when(F.col("mag_type") == "ml", F.col("station_count"))).alias("cnt_ml"),
+        F.sum(F.when(F.col("mag_type") == "mlv", F.col("station_count"))).alias("cnt_mlv"),
+    )
+    pref_type = (
+        F.when(F.col("cnt_mb") >= 20, F.lit("mb"))
+        .when(F.col("cnt_ml") >= F.col("cnt_mlv"), F.lit("ml"))
+        .otherwise(F.lit("mlv"))
+    )
+    pref_mag = (
+        F.when(F.col("cnt_mb") >= 20, F.col("mag_mb"))
+        .when(F.col("cnt_ml") >= F.col("cnt_mlv"), F.col("mag_ml"))
+        .otherwise(F.col("mag_mlv"))
+    )
+    return agg.select(
+        "event_id",
+        pref_type.alias("pref_type"),
+        pref_mag.alias("pref_mag"),
+        F.col("cnt_mb").cast("bigint").alias("cnt_mb"),
+        F.col("cnt_ml").cast("bigint").alias("cnt_ml"),
+        F.col("cnt_mlv").cast("bigint").alias("cnt_mlv"),
+    )
+
+
+# --- K18/W3: station-magnitude channel match — keep the magnitude row
+# whose channel family matches the trace, preferring the vertical (Z)
+# channel (reference geonet.py:404-451).
+
+K18_SQL = """
+WITH chans AS (
+    SELECT e.event_id, e.value, c.chan, c.c,
+           e.value * (1.0 + CAST(c.c AS DOUBLE) / 10.0) AS amp,
+           CASE WHEN e.event_id % 2 = 0 THEN 'HN' ELSE 'BN' END AS family
+    FROM events e
+    CROSS JOIN (VALUES ('HNZ', 0), ('HN1', 1), ('BNZ', 2), ('BN1', 3))
+      AS c(chan, c)
+),
+matched AS (
+    SELECT event_id, chan, amp, family,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_id
+               ORDER BY (CASE WHEN chan LIKE '%Z' THEN 0 ELSE 1 END), chan
+           ) AS rn
+    FROM chans
+    WHERE substr(chan, 1, 2) = family
+)
+SELECT event_id, chan, amp, family FROM matched WHERE rn = 1
+"""
+
+
+@register("k18_channel_match", sql=K18_SQL, survey=["K18", "W3", "F3"])
+def k18_channel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").select("event_id", "value")
+    dim = e.sparkSession.createDataFrame(
+        [("HNZ", 0), ("HN1", 1), ("BNZ", 2), ("BN1", 3)], "chan string, c int"
+    )
+    chans = e.crossJoin(F.broadcast(dim)).select(
+        "event_id",
+        "chan",
+        (F.col("value") * (1.0 + F.col("c").cast("double") / 10.0)).alias("amp"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("HN")).otherwise(F.lit("BN")).alias("family"),
+    )
+    matched = chans.filter(F.substring("chan", 1, 2) == F.col("family"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.when(F.col("chan").endswith("Z"), F.lit(0)).otherwise(F.lit(1)),
+        F.col("chan"),
+    )
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "chan", "amp", "family")
+    )
+
+
+# --- K7: clip-probability screen — deterministic stand-in for the ClipNet
+# scorer (reference filtering.py:15-59; threshold 0.2 at geonet.py:383-393).
+# The interface (array in → probability out → threshold filter) is the real
+# engine surface; the model weights are an external artifact.
+
+K7_SQL = """
+WITH feat AS (
+    SELECT vec_id, label,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             AS max_abs
+    FROM embeddings
+)
+SELECT vec_id, label, max_abs,
+       max_abs / (1.0 + max_abs) AS clip_prob,
+       CASE WHEN max_abs / (1.0 + max_abs) > 0.2 THEN 1 ELSE 0 END AS clipped
+FROM feat
+"""
+
+
+@register("k7_clip_screen", sql=K7_SQL, survey=["K7", "P7"])
+def k7_clip_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    feat = e.select("vec_id", "label", max_abs.alias("max_abs"))
+    clip_prob = F.col("max_abs") / (1.0 + F.col("max_abs"))
+    return feat.select(
+        "vec_id",
+        "label",
+        "max_abs",
+        clip_prob.alias("clip_prob"),
+        F.when(clip_prob > 0.2, F.lit(1)).otherwise(F.lit(0)).alias("clipped"),
+    )
+
+
+# --- K8: probability-series argmax picks (reference run_phasenet.py:94-101
+# takes argmax of the P/S probability series; the NN itself is an external
+# artifact — the pick extraction over an array column is the engine op).
+
+K8_SQL = """
+SELECT vec_id,
+       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS p_ix,
+       CAST(list_max(embedding) AS DOUBLE) AS p_val
+FROM embeddings
+"""
+
+
+@register("k8_prob_argmax_pick", sql=K8_SQL, survey=["K8", "F11", "O3"])
+def k8_prob_argmax_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.array_position("embedding", F.array_max("embedding"))
+        .cast("bigint")
+        .alias("p_ix"),
+        F.array_max("embedding").cast("double").alias("p_val"),
+    )
+
+
+# --- K9/K10: fetch-window estimation — significant-duration GMM shape
+# (Afshari-Stewart via exp of a magnitude ramp, creation.py:71-121) and
+# travel-time estimates (TauP P/S arrivals ≈ r_hyp over velocity,
+# creation.py:93-121). exp() may differ in the last ulp between libms, so
+# outputs are portably rounded to 6 decimals (see functions.pround).
+
+K9_SQL = f"""
+WITH ev AS (
+    SELECT event_id, {_MAG} AS mag, {_DEPTH} AS depth,
+           CAST(10.0 AS DOUBLE) + CAST(event_id % 200 AS DOUBLE) AS r_epi
+    FROM events
+),
+d AS (
+    SELECT event_id, mag, depth, r_epi,
+           SQRT(r_epi * r_epi + depth * depth) AS r_hyp
+    FROM ev
+)
+SELECT event_id, r_hyp,
+       FLOOR(r_hyp / 6.0 * 1e6 + 0.5) / 1e6 AS t_p_s,
+       FLOOR(r_hyp / 3.45 * 1e6 + 0.5) / 1e6 AS t_s_s,
+       FLOOR(EXP(-1.0 + 0.7 * (mag - 6.0)) * 60.0 * 1e6 + 0.5) / 1e6
+         AS ds595_est_s
+FROM d
+"""
+
+
+@register("k9_k10_fetch_window", sql=K9_SQL, survey=["K9", "K10", "F9"])
+def k9_k10_fetch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(_MAG).alias("mag"),
+        F.expr(_DEPTH).alias("depth"),
+        (F.lit(10.0) + (F.col("event_id") % 200).cast("double")).alias("r_epi"),
+    )
+    r_hyp = F.sqrt(F.col("r_epi") * F.col("r_epi") + F.col("depth") * F.col("depth"))
+    d = ev.withColumn("r_hyp", r_hyp)
+    return d.select(
+        "event_id",
+        "r_hyp",
+        pround(F.col("r_hyp") / 6.0, 6).alias("t_p_s"),
+        pround(F.col("r_hyp") / 3.45, 6).alias("t_s_s"),
+        pround(F.exp(-1.0 + 0.7 * (F.col("mag") - 6.0)) * 60.0, 6).alias(
+            "ds595_est_s"
+        ),
+    )
+
+
+# --- T2/T3/T5 batch twin: the streaming dedup + windowed rollup expressed
+# as batch algebra (the engine's foreachBatch parity convention means this
+# IS the micro-batch computation; streaming/events.py wires the same ops
+# behind withWatermark/dropDuplicatesWithinWatermark).
+
+T2_SQL = """
+WITH deduped AS (
+    SELECT * FROM (
+        SELECT user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT date_trunc('day', ts) AS day,
+       event_type,
+       COUNT(*) AS n_first_touch,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM deduped
+GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+@register(
+    "t2_stream_dedup_batch_twin", sql=T2_SQL, survey=["T2", "T3", "T5", "A6"]
+)
+def t2_stream_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import dsum
+
+    e = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    deduped = (
+        e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy(
+            F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_first_touch"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+# --- W5/K15: sequential Gardner-Knopoff-style declustering with CRJB
+# cutoff (reference aftershocks.py:222-308). Inherently ordered and
+# stateful → exact driver-side algorithm over the bounded event dimension
+# (SURVEY §7.3-1); no SQL twin, golden-tested in tests/test_decluster.py.
+
+@register("w5_decluster_catalog", sql=None, survey=["W5", "K15"])
+def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.decluster import decluster
+
+    ev = (
+        _points(spark, sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .withColumn("mag", F.expr(_MAG))
+        .join(
+            tbl(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+        )
+        .select(
+            F.col("event_id").cast("string").alias("evid"),
+            F.col("ts").alias("datetime"),
+            "mag",
+            "lat",
+            "lon",
+        )
+        .orderBy("evid")  # deterministic catalog order → stable cluster ids
+    )
+    rows = ev.select("evid", "lat", "lon").collect()
+    corners = {
+        r.evid: [
+            (r.lat - 0.15, r.lon - 0.15),
+            (r.lat - 0.15, r.lon + 0.15),
+            (r.lat + 0.15, r.lon + 0.15),
+            (r.lat + 0.15, r.lon - 0.15),
+        ]
+        for r in rows
+    }
+    out = decluster(ev, corners, crjb_cutoff_km=10.0)
+    return out.select("evid", "mag", "aftershock_flag", "cluster_flag")
+
+
+# --- K11/A11/A12: seeded Monte-Carlo rupture simulation per event
+# (reference ccldpy.py:921-1694 runs 1000 seeded sims per event, then
+# log-mean area stats and median-sim selection; seeding from the DATA —
+# np.random.seed(eqid), ccldpy.py:1038 — keeps results independent of task
+# placement). 100 sims here; numpy RNG → no SQL twin; determinism across
+# partitionings is covered by tests.
+
+_K11_SCHEMA = (
+    "evid bigint, n_sims int, area_log_mean double, area_gmean double, "
+    "area_median_sim double, depth_min double, depth_max double"
+)
+
+
+@register("k11_ccld_monte_carlo", sql=None, survey=["K11", "A11", "A12"])
+def k11_ccld_monte_carlo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", F.expr(_MAG).alias("mag"))
+    )
+
+    def simulate(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        evid = int(key[0])
+        mag = float(pdf["mag"].iloc[0])
+        rng = np.random.default_rng(evid)  # seed from data, never task id
+        log_areas = (mag - 4.0) + 0.25 * rng.standard_normal(100)
+        areas = 10.0**log_areas
+        depths = 5.0 + 10.0 * rng.random(100)
+        order = np.argsort(areas, kind="stable")
+        median_sim = areas[order[len(order) // 2]]
+        return pd.DataFrame(
+            [
+                {
+                    "evid": evid,
+                    "n_sims": 100,
+                    "area_log_mean": float(np.mean(log_areas)),
+                    "area_gmean": float(10.0 ** np.mean(log_areas)),
+                    "area_median_sim": float(median_sim),
+                    "depth_min": float(depths.min()),
+                    "depth_max": float(depths.max()),
+                }
+            ]
+        )
+
+    return ev.groupBy("event_id").applyInPandas(simulate, schema=_K11_SCHEMA)
+
+
+# --- K1-K6: the waveform signal chain over deterministic synthetic
+# records (generated per event — the mseed-decode output shape), running
+# preprocess → IMs and SNR → fmax through the real mapInPandas stages.
+# Numerics are pinned by tests/test_kernels.py; rows-only here.
+
+
+def _synth_waveforms(spark: SparkSession, sf_dir: str, n_records: int = 48) -> DataFrame:
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("event_id") < n_records)
+        .select("event_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for evid in pdf["event_id"]:
+                rng = np.random.default_rng(int(evid))
+                n, dt = 600, 0.02
+                t = np.arange(n) * dt
+                f0 = 1.0 + (int(evid) % 5)
+                env = np.exp(-t / 4.0)
+                comps = []
+                for _ in range(3):
+                    amp = 0.05 + 0.2 * rng.random()
+                    phase = 2 * np.pi * rng.random()
+                    x = amp * env * np.sin(2 * np.pi * f0 * t + phase)
+                    x += 0.001 * rng.standard_normal(n)
+                    comps.append(x)
+                rows.append(
+                    {
+                        "record_id": f"ev{int(evid)}_SYN_HN_10",
+                        "dt": dt,
+                        "acc_000": comps[0].tolist(),
+                        "acc_090": comps[1].tolist(),
+                        "acc_ver": comps[2].tolist(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["record_id", "dt", "acc_000", "acc_090", "acc_ver"]
+            )
+
+    return ev.mapInPandas(
+        gen,
+        schema=(
+            "record_id string, dt double, acc_000 array<double>, "
+            "acc_090 array<double>, acc_ver array<double>"
+        ),
+    )
+
+
+@register("k_signal_ims_pipeline", sql=None, survey=["K1", "K2", "K3", "K6"])
+def k_signal_ims_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.kernels.spark import ims_for_records, preprocess_records
+
+    wf = _synth_waveforms(spark, sf_dir)
+    processed = preprocess_records(wf)
+    ims = ims_for_records(processed, periods=np.array([0.1, 0.5, 1.0, 3.0]))
+    return ims.select(
+        "record_id", "component", "PGA", "PGV", "CAV", "AI", "Ds575", "Ds595"
+    )
+
+
+@register("k_snr_fmax_pipeline", sql=None, survey=["K4", "K5", "W1", "W2"])
+def k_snr_fmax_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.kernels.spark import fmax_from_snr, snr_for_records
+
+    wf = _synth_waveforms(spark, sf_dir)
+    phase = wf.select(
+        "record_id", F.lit(150).cast("int").alias("p_wave_ix")
+    )
+    snr = snr_for_records(wf, phase)
+    return fmax_from_snr(snr)
