@@ -20,6 +20,7 @@ _MODULES = (
     "nzgmdb_spark.queries.sources_io",
     "nzgmdb_spark.queries.kernels_catalog",
     "nzgmdb_spark.queries.remote_sources",
+    "nzgmdb_spark.queries.multimodal",
     "nzgmdb_spark.queries.windows",
     "nzgmdb_spark.queries.timeseries",
     "nzgmdb_spark.queries.text",

@@ -52,6 +52,13 @@ sh AS (
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
+    # The sf0.1 documents table is one parquet file → one input partition →
+    # the tokenize/explode (the CPU-heavy stage) would run on a single
+    # core. Spread the cheap rows first; at cluster scale the table is
+    # already many files and this no-ops.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     t = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.size(t) - 3)
     grams = F.transform(
@@ -63,9 +70,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # guard: Spark's sequence(0, n) runs DESCENDING for n<0, so docs with
         # <3 tokens must be dropped (DuckDB's generate_series is empty there).
+        # array_distinct already dedups WITHIN the doc, which is the only
+        # duplication possible for (doc_id, s) — no cross-row distinct (that
+        # was a full shuffle of the largest intermediate in the plan).
         d.filter(F.size(t) >= 3)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
-        .distinct()
     )
 
 
@@ -124,16 +133,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASH = 8
 _BANDS = 4  # rows per band = 2
 
+# One md5 per shingle, then 8 affine universal hashes derived from it
+# arithmetically — 8× less hashing than md5-per-(k, shingle), and integer
+# min-aggregates instead of 32-char string mins. h0 uses 13 hex chars
+# (< 2^52), multipliers < 300, so a*h + b < 2^61: no bigint overflow on
+# either engine (Spark runs ANSI mode — overflow would throw, not wrap).
+_MOD = 2305843009213693951  # 2^61 - 1
+_A = [37 * k + 11 for k in range(_N_HASH)]
+_B = [1000003 * k + 12345 for k in range(_N_HASH)]
+
 
 def _minhash_cols_sql() -> str:
+    base = "CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT)"
     return ",\n         ".join(
-        f"min(md5('{k}:' || s)) AS h{k}" for k in range(_N_HASH)
+        f"min(({_A[k]} * {base} + {_B[k]}) % {_MOD}) AS h{k}"
+        for k in range(_N_HASH)
     )
 
 
 def _band_cols_sql() -> str:
     return ",\n         ".join(
-        f"md5(h{2 * j} || h{2 * j + 1}) AS band{j}" for j in range(_BANDS)
+        f"CAST(h{2 * j} AS VARCHAR) || '_' || CAST(h{2 * j + 1} AS VARCHAR)"
+        f" AS band{j}"
+        for j in range(_BANDS)
     )
 
 
@@ -178,21 +200,28 @@ WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.5
 
 @register("dedup_minhash_lsh", sql=MINHASH_SQL, survey=["J13", "A1"], headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    # The shingle table feeds four plan subtrees (signatures, counts, and
+    # both sides of the intersection join) — persist it so the tokenize/
+    # explode work runs once. At cluster scale this is a checkpoint to
+    # parquet; in-memory persistence is its local twin.
+    sh = _shingles(spark, sf_dir).persist()
+    base = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
     sigs = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")).cast("binary"))).alias(
-                f"h{k}"
-            )
+            F.min(F.pmod(_A[k] * base + _B[k], F.lit(_MOD))).alias(f"h{k}")
             for k in range(_N_HASH)
         ]
     )
     bands = sigs.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")).cast("binary")).alias(
-                f"band{j}"
-            )
+            F.concat_ws(
+                "_",
+                F.col(f"h{2 * j}").cast("string"),
+                F.col(f"h{2 * j + 1}").cast("string"),
+            ).alias(f"band{j}")
             for j in range(_BANDS)
         ],
     )
