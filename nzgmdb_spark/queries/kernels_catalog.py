@@ -66,7 +66,7 @@ GROUP BY event_id, lat, lon, depth
 """
 
 
-@register("k13_rupture_distances", sql=K13_SQL, survey=["K12", "K13"])
+@register("k13_rupture_distances", sql=K13_SQL, survey=["K12", "K13"], headline=True)
 def k13_rupture_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir).withColumn("depth", F.expr(_DEPTH))
     return rupture_distances(pts, _GRID)

@@ -60,7 +60,7 @@ FROM ids
 """
 
 
-@register("m1_media_metadata_decode", sql=M1_SQL, survey=["S9", "F11"])
+@register("m1_media_metadata_decode", sql=M1_SQL, survey=["S9", "F11"], headline=True)
 def m1_media_metadata_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_metadata(_media(spark, sf_dir))
 

@@ -145,7 +145,10 @@ GROUP BY event_type
 
 
 @register(
-    "s14_partitioned_sink_resume", sql=S14_SQL, survey=["S10", "S14", "S11"]
+    "s14_partitioned_sink_resume",
+    sql=S14_SQL,
+    survey=["S10", "S14", "S11"],
+    headline=True,
 )
 def s14_partitioned_sink_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_dir(sf_dir, "events_by_type")
