@@ -62,8 +62,18 @@ def psa_newmark(
     acc_g: np.ndarray, dt: float, periods: np.ndarray = DEFAULT_PERIODS, xi: float = 0.05
 ) -> np.ndarray:
     """Pseudo-spectral acceleration (g) via Newmark-β (γ=1/2, β=1/4) SDOF
-    response, vectorized over periods."""
+    response, vectorized over periods.
+
+    ``acc_g`` may be 1-D (n,) → returns (P,), or 2-D (R, n) for R
+    excitation rows (e.g. rotation angles) → returns (R, P). The 2-D form
+    runs ONE time-step loop for all rows — the rotd path would otherwise
+    pay the Python-loop overhead once per angle (18× slower measured).
+    """
     periods = np.asarray(periods, dtype=np.float64)
+    acc_g = np.asarray(acc_g, dtype=np.float64)
+    squeeze = acc_g.ndim == 1
+    if squeeze:
+        acc_g = acc_g[None, :]
     wn = 2 * np.pi / periods  # (P,)
     m = 1.0
     c = 2 * xi * wn
@@ -71,28 +81,32 @@ def psa_newmark(
     gamma, beta = 0.5, 0.25
     a0 = 1.0 / (beta * dt**2)
     a1 = gamma / (beta * dt)
-    keff = k + a0 * m + a1 * c
-    p_ag = -acc_g  # ground excitation per unit mass (units g)
-    u = np.zeros_like(wn)
-    v = np.zeros_like(wn)
-    a = np.full_like(wn, p_ag[0])  # initial acceleration
-    umax = np.zeros_like(wn)
-    for i in range(1, len(p_ag)):
+    keff = k + a0 * m + a1 * c  # (P,)
+    p_ag = -acc_g  # (R, n) ground excitation per unit mass (units g)
+    nrows = p_ag.shape[0]
+    u = np.zeros((nrows, len(wn)))
+    v = np.zeros((nrows, len(wn)))
+    a = np.broadcast_to(p_ag[:, 0][:, None], u.shape).copy()
+    umax = np.zeros_like(u)
+    c1 = 1 / (2 * beta) - 1
+    c2 = gamma / beta - 1
+    c3 = dt * (gamma / (2 * beta) - 1)
+    c4 = gamma / (beta * dt)
+    c5 = 1 - gamma / beta
+    c6 = dt * (1 - gamma / (2 * beta))
+    for i in range(1, p_ag.shape[1]):
         dp = (
-            p_ag[i]
-            + m * (a0 * u + a0 * dt * v + (1 / (2 * beta) - 1) * a)
-            + c * (a1 * u + (gamma / beta - 1) * v + dt * (gamma / (2 * beta) - 1) * a)
+            p_ag[:, i][:, None]
+            + m * (a0 * u + a0 * dt * v + c1 * a)
+            + c * (a1 * u + c2 * v + c3 * a)
         )
         u_new = dp / keff
-        v_new = (
-            gamma / (beta * dt) * (u_new - u)
-            + (1 - gamma / beta) * v
-            + dt * (1 - gamma / (2 * beta)) * a
-        )
-        a_new = a0 * (u_new - u) - a0 * dt * v - (1 / (2 * beta) - 1) * a
+        v_new = c4 * (u_new - u) + c5 * v + c6 * a
+        a_new = a0 * (u_new - u) - a0 * dt * v - c1 * a
         u, v, a = u_new, v_new, a_new
-        umax = np.maximum(umax, np.abs(u))
-    return umax * wn**2  # pSA in g
+        np.maximum(umax, np.abs(u), out=umax)
+    psa = umax * wn**2  # pSA in g
+    return psa[0] if squeeze else psa
 
 
 def rotd_psa(
@@ -105,10 +119,12 @@ def rotd_psa(
     """rotd0/50/100: per-period percentiles of pSA over horizontal rotation
     angles (reference K6 components; config.yaml:77-88)."""
     angles = np.deg2rad(np.arange(0, 180, 180 // n_angles * 1 if n_angles >= 180 else 180 // n_angles))
-    psas = np.empty((len(angles), len(periods)))
-    for i, th in enumerate(angles):
-        rot = acc000_g * np.cos(th) + acc090_g * np.sin(th)
-        psas[i] = psa_newmark(rot, dt, periods)
+    # all rotations as one (A, n) excitation batch → single Newmark loop
+    rot = (
+        np.cos(angles)[:, None] * acc000_g[None, :]
+        + np.sin(angles)[:, None] * acc090_g[None, :]
+    )
+    psas = psa_newmark(rot, dt, periods)
     return {
         "rotd0": psas.min(axis=0),
         "rotd50": np.median(psas, axis=0),

@@ -579,3 +579,29 @@ def k_snr_fmax_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snr = snr_for_records(wf, phase)
     return fmax_from_snr(snr)
+
+
+# --- The full 13-stage batch DAG (SURVEY §3.1) run hermetically into a
+# per-sf warehouse: catalog → tect → records → waveforms → phase → fmax →
+# IMs → GMC → merge → distances → decluster → flatfile → quality. Returns
+# the quality-filtered flat table; rows-only (the DAG's building blocks
+# are each oracle-checked individually above).
+
+
+@register(
+    "pipeline_full_dag",
+    sql=None,
+    survey=["S14", "J6", "J9", "W3", "W4", "P7", "A10"],
+)
+def pipeline_full_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.plans.pipeline import run_full_pipeline
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    run = run_full_pipeline(
+        spark, sf_dir, warehouse=f"/tmp/nzgmdb_spark_io/{key}/warehouse"
+    )
+    kept = spark.read.parquet(run.path("quality_db"))
+    return kept.select(
+        "record_id", "evid", "sta", "component", "PGA", "r_rup", "fmin_max",
+        "ev_tect_class", "ev_aftershock_flag",
+    ).orderBy("record_id")
