@@ -336,3 +336,93 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit_idx AS INT)) ELSE CAST(0 AS BIGINT) END")
     ).cast("bigint")
     return votes.groupBy("doc_id").agg(packed.alias("simhash32"))
+
+
+# --- Embedding-cosine near-dup: flag vector pairs whose cosine similarity
+# crosses a threshold. This is the semantic-dedup step of a training-data
+# pipeline (the text variants above catch lexical copies; this catches
+# paraphrases via their embeddings). The exact all-pairs verify below is
+# the baseline: one broadcast nested-loop self-join with a zip_with dot
+# product folded in DECIMAL(38,12) (order-independent, bit-identical to
+# the oracle). Scale path at 100 TB: generate candidates first with the
+# hyperplane-LSH buckets of ann_lsh_hyperplane (at real dup thresholds
+# >= 0.9 a banded OR-construction has ~1.0 recall), then run this exact
+# verify only on bucket pairs — the verify operator is unchanged, only
+# its input shrinks. Threshold 0.4 here because the synthetic embeddings
+# contain no planted duplicates (max pairwise cosine ~0.6); the operator
+# semantics are threshold-independent.
+
+_COS_THRESHOLD = 0.4
+
+COSINE_NEARDUP_SQL = """
+WITH dims AS (
+  SELECT vec_id, g.i AS dim, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims a JOIN dims b ON a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+FROM pairs
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4
+"""
+
+
+@register(
+    "dedup_cosine_neardup",
+    sql=COSINE_NEARDUP_SQL,
+    survey=["J13", "F11"],
+)
+def dedup_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # Term precision (20,12) + accumulator (32,12) keeps every fold-step
+    # addition inside precision 38 — Spark would otherwise drop to scale 11
+    # and round each step (≈1e-10 drift over 64 adds vs the oracle's exact
+    # scale-12 sum).
+    dec = "decimal(20,12)"
+    acc_dec = "decimal(32,12)"
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: (x * x).cast(dec)),
+            F.lit(0).cast(acc_dec),
+            lambda acc, x: (acc + x).cast(acc_dec),
+        ).cast("double")
+    )
+    e = e.withColumn("nrm", norm)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    # Broadcast one side: the pair join is a nested-loop by nature (id_a <
+    # id_b is non-equi); at cluster scale the broadcast side is the LSH
+    # candidate list, not the full corpus.
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x * y).cast(dec)),
+        F.lit(0).cast(acc_dec),
+        lambda acc, x: (acc + x).cast(acc_dec),
+    ).cast("double")
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= _COS_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+    )

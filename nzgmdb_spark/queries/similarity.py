@@ -244,6 +244,157 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) ANN: the scale path for similarity search.
+# A real IVF index trains its centroid codebook with k-means; here the
+# codebook is a deterministic seed subset of the corpus (vec_ids
+# _N_QUERIES.._N_QUERIES+_N_CENTROIDS-1) so the whole operator stays
+# oracle-checkable (SURVEY §7.3-4 determinism convention). The plan shape
+# is the 100 TB artifact: the codebook is broadcast (map-side cell
+# assignment, no shuffle), vectors land in their cell partition once, and
+# each query probes only _N_PROBE cells — scan cost drops from O(corpus)
+# to O(corpus × nprobe / ncentroids). Nearest-centroid assignment mirrors
+# the reference's nearest-grid-point lookup (distances.py:303-315,
+# tect_domain.py:235-272).
+
+_N_CENTROIDS = 16
+_N_PROBE = 4
+
+_IVF_CTE = f"""
+cdims AS (
+  SELECT vec_id AS c_id, dim, v AS cv FROM dims
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}
+),
+adots AS (
+  SELECT d.vec_id, c.c_id,
+         CAST(sum(CAST(d.v * c.cv AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims d JOIN cdims c ON d.dim = c.dim
+  GROUP BY d.vec_id, c.c_id
+),
+ascored AS (
+  SELECT a.vec_id, a.c_id, a.dot / (nv.nrm * nc.nrm) AS ccos
+  FROM adots a
+  JOIN norms nv ON nv.vec_id = a.vec_id
+  JOIN norms nc ON nc.vec_id = a.c_id
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM ascored
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC, c_id
+  ) = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id AS cell FROM ascored
+  WHERE vec_id < {_N_QUERIES}
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC, c_id
+  ) <= {_N_PROBE}
+)
+"""
+
+IVF_SQL = f"""
+WITH {_NORMS_CTE},
+{_IVF_CTE},
+cand AS (
+  SELECT p.q_id, c.vec_id
+  FROM probes p JOIN cells c ON c.cell = p.cell
+  WHERE c.vec_id <> p.q_id
+),
+qdims AS (SELECT vec_id AS q_id, dim, v AS qv FROM dims WHERE vec_id < {_N_QUERIES}),
+dots AS (
+  SELECT c.q_id, c.vec_id AS c_id,
+         CAST(sum(CAST(q.qv * d.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN qdims q ON q.q_id = c.q_id
+  JOIN dims d ON d.vec_id = c.vec_id AND d.dim = q.dim
+  GROUP BY c.q_id, c.vec_id
+)
+SELECT q_id, c_id AS vec_id, dot / (nq.nrm * nv.nrm) AS cosine
+FROM dots
+JOIN norms nq ON nq.vec_id = q_id
+JOIN norms nv ON nv.vec_id = c_id
+QUALIFY row_number() OVER (
+  PARTITION BY q_id ORDER BY dot / (nq.nrm * nv.nrm) DESC, c_id
+) <= {_TOP_K}
+"""
+
+
+@register("ann_ivf_cosine", sql=IVF_SQL, survey=["J14", "J15"])
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _dims(spark, sf_dir)
+    norms = _norms(dims)
+    cdims = dims.filter(
+        (F.col("vec_id") >= _N_QUERIES)
+        & (F.col("vec_id") < _N_QUERIES + _N_CENTROIDS)
+    ).select(F.col("vec_id").alias("c_id"), "dim", F.col("v").alias("cv"))
+    adots = (
+        dims.join(F.broadcast(cdims), "dim")
+        .groupBy("vec_id", "c_id")
+        .agg(
+            F.sum((F.col("v") * F.col("cv")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nc = norms.select(F.col("vec_id").alias("c_id"), F.col("nrm").alias("c_nrm"))
+    ascored = (
+        adots.join(norms, "vec_id")
+        .join(F.broadcast(nc), "c_id")
+        .withColumn("ccos", F.col("dot") / (F.col("nrm") * F.col("c_nrm")))
+        .select("vec_id", "c_id", "ccos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id")
+    )
+    ranked = ascored.withColumn("rn", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c_id").alias("cell")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _N_PROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    qdims = (
+        dims.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "dim", F.col("v").alias("qv"))
+    )
+    dots = (
+        cand.join(F.broadcast(qdims), "q_id")
+        .join(
+            dims.select(
+                F.col("vec_id").alias("d_vec"),
+                F.col("dim").alias("d_dim"),
+                F.col("v"),
+            ),
+            (F.col("d_vec") == F.col("vec_id")) & (F.col("d_dim") == F.col("dim")),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum((F.col("qv") * F.col("v")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("q_nrm"))
+    nv = norms.select("vec_id", F.col("nrm").alias("v_nrm"))
+    scored = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nv, "vec_id")
+        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("v_nrm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
 # --- Per-label embedding statistics (quality monitoring for a training-data
 # pipeline: centroid norm drift, count per class).
 
