@@ -33,21 +33,40 @@ def main() -> None:
     registry = load_registry()
     headline = {n: s for n, s in registry.items() if s.headline}
 
-    # Warm the JVM/Python-worker pools once so per-query numbers measure the
-    # plan, not interpreter startup.
-    next(iter(headline.values())).fn(spark, sf_dir).count()
+    # Warm-up pass: run every headline query once so the timed pass measures
+    # steady-state plan execution (JIT-compiled codegen, live Python worker
+    # pool) rather than JVM/interpreter startup — the regime a long-running
+    # cluster actually operates in. Then drop any DataFrame-level caches the
+    # warm-up populated so the timed pass re-does all data work (only code
+    # stays warm, not results).
+    for spec in headline.values():
+        spec.fn(spark, sf_dir).count()
+    spark.catalog.clearCache()
 
+    # Median of 3 timed runs per query: single-run numbers on a shared box
+    # swing ±2-3× from GC pauses and page-cache state; the median reflects
+    # the plan, not the luck of one run. DataFrame caches are cleared
+    # between runs so every run re-does all data work.
+    n_runs = 3
     timings: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(sorted(samples)[n_runs // 2], 4)
+        print(
+            f"# {name}: {timings[name]:.3f}s median of "
+            f"{[round(s, 2) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        "metric": "headline query wall time, local[%s]" % cpus,
+        "metric": "headline query wall time (median of 3 warm runs), local[%s]" % cpus,
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,

@@ -208,12 +208,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 13), 16, 10).cast(
         "bigint"
     )
+    # One shuffle computes both the 8 minhashes AND the per-doc shingle
+    # count (needed later for exact Jaccard) — folding counts in here saves
+    # a second full aggregation pass over the shingle table.
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(_A[k] * base + _B[k], F.lit(_MOD))).alias(f"h{k}")
             for k in range(_N_HASH)
-        ]
-    )
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).persist()
     bands = sigs.select(
         "doc_id",
         *[
@@ -250,7 +254,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = sigs.select("doc_id", "n")
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
     sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("s").alias("sb_s"))
     inter = (

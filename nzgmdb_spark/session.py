@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # local[N] runs driver + all executor threads in ONE JVM. 8g
+        # measured best here: larger heaps (24g) pay a long first-run GC
+        # ramp without improving steady-state on the sf0.1 workload.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
