@@ -11,7 +11,7 @@ results bit-identical to the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nzgmdb_spark.functions import pround
@@ -69,31 +69,61 @@ def _norms(dims: DataFrame) -> DataFrame:
     )
 
 
+# Decimal ladder for zip_with/aggregate folds: terms at (20,12) and the
+# accumulator at (32,12) keep every fold-step addition inside precision 38.
+# At (38,12)+(38,12) Spark exceeds the cap, drops to scale 11, and rounds
+# every step — ~1e-10 drift over 64 adds vs the oracle's exact sum.
+_DEC_TERM = "decimal(20,12)"
+_DEC_ACC = "decimal(32,12)"
+
+
+def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings in wide form with an exact-decimal L2 norm per vector."""
+    e = tbl(spark, sf_dir, "embeddings")
+    # Single-file parquet reads as ONE partition → the decimal dot-product
+    # stage would serialize on one core. Spread rows first; at cluster
+    # scale the table is many files and this no-ops.
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
+    e = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: (x * x).cast(_DEC_TERM)),
+            F.lit(0).cast(_DEC_ACC),
+            lambda acc, x: (acc + x).cast(_DEC_ACC),
+        ).cast("double")
+    )
+    return e.withColumn("nrm", norm)
+
+
+def _wide_dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC_TERM)),
+        F.lit(0).cast(_DEC_ACC),
+        lambda acc, x: (acc + x).cast(_DEC_ACC),
+    ).cast("double")
+
+
 @register("knn_cosine_bruteforce", sql=KNN_SQL, survey=["J14", "A2"], headline=True)
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dims = _dims(spark, sf_dir)
-    norms = _norms(dims)
-    qdims = (
-        dims.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "dim", F.col("v").alias("qv"))
-    )
-    dots = (
-        F.broadcast(qdims)
-        .join(dims, "dim")
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(
-            F.sum((F.col("qv") * F.col("v")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("q_nrm"))
-    nv = norms.select("vec_id", F.col("nrm").alias("v_nrm"))
+    # Wide-form plan: ONE broadcast nested-loop join (tiny query set ×
+    # corpus) with the dot product folded per-row in DECIMAL — no
+    # posexplode, no shuffle over (dim, value) rows. The corpus side
+    # streams through in a single narrow pass, which is the shape that
+    # scales to 100 TB; the decimal fold makes the result bit-identical
+    # to the oracle's long-form exact sum (same scale-12 terms).
+    e = _wide(spark, sf_dir)
+    q = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    ).filter(F.col("q_id") < _N_QUERIES)
     scored = (
-        dots.join(F.broadcast(nq), "q_id")
-        .join(nv, "vec_id")
-        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("v_nrm")))
+        e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .withColumn("cosine", _wide_dot("qv", "v") / (F.col("q_nrm") * F.col("nrm")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -320,7 +350,11 @@ QUALIFY row_number() OVER (
 
 @register("ann_ivf_cosine", sql=IVF_SQL, survey=["J14", "J15"])
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dims = _dims(spark, sf_dir)
+    # Assignment phase in long form (dims ⋈ broadcast centroid dims →
+    # map-side partial agg); exact re-scoring phase in wide form (the
+    # candidate list is tiny after probing, so the decimal fold runs on
+    # ~nprobe/ncentroids of the corpus only).
+    dims = _dims(spark, sf_dir).persist()
     norms = _norms(dims)
     cdims = dims.filter(
         (F.col("vec_id") >= _N_QUERIES)
@@ -359,33 +393,16 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
     )
-    qdims = (
-        dims.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "dim", F.col("v").alias("qv"))
+    e = _wide(spark, sf_dir)
+    qw = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
     )
-    dots = (
-        cand.join(F.broadcast(qdims), "q_id")
-        .join(
-            dims.select(
-                F.col("vec_id").alias("d_vec"),
-                F.col("dim").alias("d_dim"),
-                F.col("v"),
-            ),
-            (F.col("d_vec") == F.col("vec_id")) & (F.col("d_dim") == F.col("dim")),
-        )
-        .groupBy("q_id", "vec_id")
-        .agg(
-            F.sum((F.col("qv") * F.col("v")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("q_nrm"))
-    nv = norms.select("vec_id", F.col("nrm").alias("v_nrm"))
     scored = (
-        dots.join(F.broadcast(nq), "q_id")
-        .join(nv, "vec_id")
-        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("v_nrm")))
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qw), "q_id")
+        .withColumn("cosine", _wide_dot("qv", "v") / (F.col("q_nrm") * F.col("nrm")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
