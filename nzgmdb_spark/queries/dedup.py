@@ -50,15 +50,20 @@ sh AS (
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
+def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The sf0.1 documents table is one parquet file → one input partition →
-    # the tokenize/explode (the CPU-heavy stage) would run on a single
-    # core. Spread the cheap rows first; at cluster scale the table is
-    # already many files and this no-ops.
+    # the tokenize (the CPU-heavy stage) would run on a single core. Spread
+    # the cheap rows first; at cluster scale the table is already many
+    # files and this no-ops.
+    d = tbl(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
+    return d
+
+
+def _gram_expr() -> tuple[Column, Column]:
+    """(token-array, distinct word-3-gram array) expressions over ``text``."""
     t = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.size(t) - 3)
     grams = F.transform(
@@ -67,15 +72,39 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
         ),
     )
-    return (
-        # guard: Spark's sequence(0, n) runs DESCENDING for n<0, so docs with
-        # <3 tokens must be dropped (DuckDB's generate_series is empty there).
-        # array_distinct already dedups WITHIN the doc, which is the only
-        # duplication possible for (doc_id, s) — no cross-row distinct (that
-        # was a full shuffle of the largest intermediate in the plan).
-        d.filter(F.size(t) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
-    )
+    # array_distinct dedups WITHIN the doc, which is the only duplication
+    # possible for (doc_id, s) — no cross-row distinct needed ever.
+    return t, F.array_distinct(grams)
+
+
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g: array<string>) — each doc's DISTINCT word-3-gram set.
+
+    Kept array-packed (one row per doc) so signature/count/intersection
+    work stays in narrow whole-stage-codegen array expressions.
+    """
+    d = _repartitioned_docs(spark, sf_dir)
+    t, grams = _gram_expr()
+    # guard: Spark's sequence(0, n) runs DESCENDING for n<0, so docs with
+    # <3 tokens must be dropped (DuckDB's generate_series is empty there).
+    return d.filter(F.size(t) >= 3).select("doc_id", grams.alias("g"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long form (doc_id, s): one row per distinct shingle per doc.
+
+    Built as ONE projection (explode directly over the gram expression),
+    NOT as explode over :func:`_doc_shingle_arrays`' named column: with a
+    named intermediate, ``InferFiltersFromGenerate`` synthesizes a
+    ``size(g) > 0`` predicate, and pushdown then substitutes the full
+    gram expression into a Filter BELOW the repartition Exchange — the
+    whole corpus gets shingled serially on the single input partition
+    before being shingled again post-shuffle. The inline shape keeps the
+    expensive expression in exactly one post-shuffle projection.
+    """
+    d = _repartitioned_docs(spark, sf_dir)
+    t, grams = _gram_expr()
+    return d.filter(F.size(t) >= 3).select("doc_id", F.explode(grams).alias("s"))
 
 
 # --- n-gram Jaccard near-dup pairs: block on shared shingles (equi-join),
@@ -100,26 +129,55 @@ WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) > 0.5
 
 @register("dedup_ngram_jaccard", sql=JACCARD_SQL, survey=["J13", "A2"], headline=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Pair generation is blocked on shared shingles, never the cross
+    # product: group the long form by shingle, expand ordered doc pairs
+    # inside the (sorted) posting list with array transforms, and count
+    # rows per pair — each shared shingle contributes exactly one pair
+    # row, so the count IS |A ∩ B|. The per-doc set sizes ride along in
+    # the posting-list structs, so the whole query is TWO shuffles
+    # (groupBy shingle, groupBy pair) and zero joins — the self-join
+    # formulation costs four shuffles plus two count-side scans. At
+    # 100 TB the posting-list grouping is also where a frequent-shingle
+    # cap would slot in to bound skew.
+    d = _repartitioned_docs(spark, sf_dir)
+    t, grams = _gram_expr()
+    sh = d.filter(F.size(t) >= 3).select(
+        "doc_id", F.size(grams).alias("n"), F.explode(grams).alias("s")
+    )
+    posting = sh.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["n"].alias("na"),
+                    b["n"].alias("nb"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        posting.filter(F.size(ids) > 1)
+        .select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") > 0.5)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
@@ -200,42 +258,47 @@ WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.5
 
 @register("dedup_minhash_lsh", sql=MINHASH_SQL, survey=["J13", "A1"], headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingle table feeds four plan subtrees (signatures, counts, and
-    # both sides of the intersection join) — persist it so the tokenize/
-    # explode work runs once. At cluster scale this is a checkpoint to
-    # parquet; in-memory persistence is its local twin.
-    sh = _shingles(spark, sf_dir).persist()
-    base = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 13), 16, 10).cast(
-        "bigint"
+    # Shuffle-minimal formulation. Signatures are NARROW: per doc,
+    # md5-hash the shingle array once (``transform``), then each of the 8
+    # minhashes is an ``array_min`` over an affine remap of those hashes —
+    # no explode, no groupBy. The ONLY all-docs shuffle is the band-bucket
+    # self-join (that is the point of LSH); candidate verification joins
+    # the two shingle arrays back and takes ``size(array_intersect)``
+    # instead of re-exploding the corpus into a double equi-join.
+    # At 100 TB: band join = plain equi-join on (band_idx, band_hash);
+    # verify = two equi-joins on doc id against the array-packed corpus
+    # (shuffle-hash; candidates ≪ corpus), everything else map-side.
+    docs_g = _doc_shingle_arrays(spark, sf_dir)
+    base_of = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(s.cast("binary")), 1, 13), 16, 10
+    ).cast("bigint")
+    hashed = docs_g.select(
+        "doc_id",
+        F.size("g").alias("n"),
+        F.transform("g", base_of).alias("hs"),
     )
-    # One shuffle computes both the 8 minhashes AND the per-doc shingle
-    # count (needed later for exact Jaccard) — folding counts in here saves
-    # a second full aggregation pass over the shingle table.
-    sigs = sh.groupBy("doc_id").agg(
+    sigs = hashed.select(
+        "doc_id",
+        "n",
         *[
-            F.min(F.pmod(_A[k] * base + _B[k], F.lit(_MOD))).alias(f"h{k}")
+            F.array_min(
+                F.transform("hs", lambda h: F.pmod(_A[k] * h + _B[k], F.lit(_MOD)))
+            ).alias(f"h{k}")
             for k in range(_N_HASH)
         ],
-        F.count(F.lit(1)).alias("n"),
-    ).persist()
-    bands = sigs.select(
-        "doc_id",
-        *[
-            F.concat_ws(
-                "_",
-                F.col(f"h{2 * j}").cast("string"),
-                F.col(f"h{2 * j + 1}").cast("string"),
-            ).alias(f"band{j}")
-            for j in range(_BANDS)
-        ],
     )
-    band_rows = bands.select(
+    band_rows = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("band_idx"), F.col(f"band{j}").alias("band_hash")
+                        F.lit(j).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"h{2 * j}").cast("string"),
+                            F.col(f"h{2 * j + 1}").cast("string"),
+                        ).alias("band_hash"),
                     )
                     for j in range(_BANDS)
                 ]
@@ -254,27 +317,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sigs.select("doc_id", "n")
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
-    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("s").alias("sb_s"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb_doc")) & (F.col("sb_s") == F.col("sa_s")),
+    ga = docs_g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = docs_g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    verified = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga", "gb")).alias("n_common"),
+            F.size("ga").alias("na"),
+            F.size("gb").alias("nb"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") > 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
