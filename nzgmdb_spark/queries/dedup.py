@@ -50,61 +50,53 @@ sh AS (
 """
 
 
-def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The sf0.1 documents table is one parquet file → one input partition →
-    # the tokenize (the CPU-heavy stage) would run on a single core. Spread
-    # the cheap rows first; at cluster scale the table is already many
-    # files and this no-ops.
-    d = tbl(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
-    return d
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w: array<string>) with ≥3 tokens — token array MATERIALIZED.
 
+    ``split(text)`` runs exactly once per doc BELOW a repartition
+    Exchange; the shuffle materializes ``w`` as a physical column, so
+    every downstream gram expression indexes a stored array.
 
-def _gram_expr() -> tuple[Column, Column]:
-    """(token-array, distinct word-3-gram array) expressions over ``text``."""
-    t = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.size(t) - 3)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
-        ),
-    )
-    # array_distinct dedups WITHIN the doc, which is the only duplication
-    # possible for (doc_id, s) — no cross-row distinct needed ever.
-    return t, F.array_distinct(grams)
-
-
-def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, g: array<string>) — each doc's DISTINCT word-3-gram set.
-
-    Kept array-packed (one row per doc) so signature/count/intersection
-    work stays in narrow whole-stage-codegen array expressions.
+    Why this matters: Spark's subexpression elimination skips any
+    expression under a lambda (it may reference the lambda variable), so
+    a gram ``transform`` whose lambda body contains ``split(text)``
+    re-splits the text for every ``element_at`` — ~150× per doc — and
+    the projection Catalyst places ABOVE the shingle Generate (for
+    per-doc counts) multiplies that by the ~50 exploded rows per doc.
+    Measured at sf0.1: 15.5 s → 2.1 s for the Jaccard query just by
+    materializing ``w``. The unconditional repartition doubles as the
+    materialization barrier (CollapseProject cannot substitute ``split``
+    back into the lambdas across an Exchange); its shuffle volume is one
+    pass over the tokenized corpus, repaid ~50× in shingling CPU. At
+    cluster scale the same role is played by a tokenized staging table.
     """
-    d = _repartitioned_docs(spark, sf_dir)
-    t, grams = _gram_expr()
+    d = tbl(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
     # guard: Spark's sequence(0, n) runs DESCENDING for n<0, so docs with
     # <3 tokens must be dropped (DuckDB's generate_series is empty there).
-    return d.filter(F.size(t) >= 3).select("doc_id", grams.alias("g"))
+    toks = d.filter(F.size(w) >= 3).select("doc_id", w.alias("w"))
+    return toks.repartition(spark.sparkContext.defaultParallelism)
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long form (doc_id, s): one row per distinct shingle per doc.
+def _grams() -> Column:
+    """Distinct word-3-gram array over the materialized token column ``w``.
 
-    Built as ONE projection (explode directly over the gram expression),
-    NOT as explode over :func:`_doc_shingle_arrays`' named column: with a
-    named intermediate, ``InferFiltersFromGenerate`` synthesizes a
-    ``size(g) > 0`` predicate, and pushdown then substitutes the full
-    gram expression into a Filter BELOW the repartition Exchange — the
-    whole corpus gets shingled serially on the single input partition
-    before being shingled again post-shuffle. The inline shape keeps the
-    expensive expression in exactly one post-shuffle projection.
+    array_distinct dedups WITHIN the doc, which is the only duplication
+    possible for (doc_id, s) — no cross-row distinct needed ever.
     """
-    d = _repartitioned_docs(spark, sf_dir)
-    t, grams = _gram_expr()
-    return d.filter(F.size(t) >= 3).select("doc_id", F.explode(grams).alias("s"))
+    w = F.col("w")
+    idx = F.sequence(F.lit(0), F.size(w) - 3)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+            ),
+        )
+    )
 
 
 # --- n-gram Jaccard near-dup pairs: block on shared shingles (equi-join),
@@ -131,45 +123,37 @@ WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) > 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pair generation is blocked on shared shingles, never the cross
     # product: group the long form by shingle, expand ordered doc pairs
-    # inside the (sorted) posting list with array transforms, and count
-    # rows per pair — each shared shingle contributes exactly one pair
-    # row, so the count IS |A ∩ B|. The per-doc set sizes ride along in
-    # the posting-list structs, so the whole query is TWO shuffles
-    # (groupBy shingle, groupBy pair) and zero joins — the self-join
-    # formulation costs four shuffles plus two count-side scans. At
+    # from the (sorted) posting list, and count rows per pair — each
+    # shared shingle contributes exactly one pair row, so the count IS
+    # |A ∩ B|. The per-doc set sizes ride along in the posting-list
+    # structs, so the whole query is TWO shuffles (groupBy shingle,
+    # groupBy pair) and zero joins — the self-join formulation costs
+    # four shuffles plus two count-side scans. Pair expansion is two
+    # CHAINED Generates (posexplode, then explode of the tail slice):
+    # Generate is whole-stage-codegen'd, whereas the equivalent nested
+    # transform()/flatten() higher-order expression runs interpreted
+    # (~6 µs per emitted struct — measured 7× slower end-to-end). At
     # 100 TB the posting-list grouping is also where a frequent-shingle
     # cap would slot in to bound skew.
-    d = _repartitioned_docs(spark, sf_dir)
-    t, grams = _gram_expr()
-    sh = d.filter(F.size(t) >= 3).select(
-        "doc_id", F.size(grams).alias("n"), F.explode(grams).alias("s")
-    )
+    toks = _tokenized_docs(spark, sf_dir)
+    grams = _grams()
+    sh = toks.select("doc_id", F.size(grams).alias("n"), F.explode(grams).alias("s"))
     posting = sh.groupBy("s").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
     )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda b: F.struct(
-                    a["doc_id"].alias("doc_a"),
-                    b["doc_id"].alias("doc_b"),
-                    a["n"].alias("na"),
-                    b["n"].alias("nb"),
-                ),
-            ),
+    expanded = (
+        posting.filter(F.size("ids") > 1)
+        .select(F.posexplode("ids").alias("i", "a"), F.col("ids"))
+        .select(
+            "a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b")
         )
     )
     pairs = (
-        posting.filter(F.size(ids) > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.col("p.na").alias("na"),
-            F.col("p.nb").alias("nb"),
+        expanded.groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -259,16 +243,21 @@ WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.5
 @register("dedup_minhash_lsh", sql=MINHASH_SQL, survey=["J13", "A1"], headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shuffle-minimal formulation. Signatures are NARROW: per doc,
-    # md5-hash the shingle array once (``transform``), then each of the 8
-    # minhashes is an ``array_min`` over an affine remap of those hashes —
-    # no explode, no groupBy. The ONLY all-docs shuffle is the band-bucket
+    # md5-hash the shingle array once (``transform``), then fold ONE
+    # ``aggregate`` pass over those hashes that carries all 8 running
+    # minima in a struct accumulator — no explode, no groupBy, and the
+    # md5 array expression appears exactly once in the plan (8 separate
+    # array_min(transform(hs, ...)) expressions would each re-evaluate
+    # ``hs``: lambda-scoped subtrees are excluded from subexpression
+    # elimination). The ONLY all-docs shuffle is the band-bucket
     # self-join (that is the point of LSH); candidate verification joins
     # the two shingle arrays back and takes ``size(array_intersect)``
     # instead of re-exploding the corpus into a double equi-join.
     # At 100 TB: band join = plain equi-join on (band_idx, band_hash);
     # verify = two equi-joins on doc id against the array-packed corpus
     # (shuffle-hash; candidates ≪ corpus), everything else map-side.
-    docs_g = _doc_shingle_arrays(spark, sf_dir)
+    toks = _tokenized_docs(spark, sf_dir)
+    docs_g = toks.select("doc_id", _grams().alias("g"))
     base_of = lambda s: F.conv(  # noqa: E731
         F.substring(F.md5(s.cast("binary")), 1, 13), 16, 10
     ).cast("bigint")
@@ -277,16 +266,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("g").alias("n"),
         F.transform("g", base_of).alias("hs"),
     )
-    sigs = hashed.select(
-        "doc_id",
-        "n",
-        *[
-            F.array_min(
-                F.transform("hs", lambda h: F.pmod(_A[k] * h + _B[k], F.lit(_MOD)))
-            ).alias(f"h{k}")
-            for k in range(_N_HASH)
-        ],
+    init = F.struct(
+        *[F.lit(_MOD).cast("bigint").alias(f"h{k}") for k in range(_N_HASH)]
     )
+    fold = F.aggregate(
+        "hs",
+        init,
+        lambda acc, h: F.struct(
+            *[
+                F.least(acc[f"h{k}"], F.pmod(_A[k] * h + _B[k], F.lit(_MOD))).alias(
+                    f"h{k}"
+                )
+                for k in range(_N_HASH)
+            ]
+        ),
+    )
+    sigs = hashed.select("doc_id", "n", fold.alias("sig"))
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -296,8 +291,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(j).alias("band_idx"),
                         F.concat_ws(
                             "_",
-                            F.col(f"h{2 * j}").cast("string"),
-                            F.col(f"h{2 * j + 1}").cast("string"),
+                            F.col("sig")[f"h{2 * j}"].cast("string"),
+                            F.col("sig")[f"h{2 * j + 1}"].cast("string"),
                         ).alias("band_hash"),
                     )
                     for j in range(_BANDS)
@@ -317,6 +312,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Re-deriving docs_g is cheap post-materialization (grams over the
+    # stored token array); at 100 TB the signature/gram table would be a
+    # persisted staging table instead of a recompute.
     ga = docs_g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = docs_g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     verified = (
