@@ -456,10 +456,8 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.4
 def dedup_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings")
     # Single-file parquet = one partition; spread rows so the pair-scoring
-    # stage uses every core (no-op at cluster scale).
-    par = spark.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < par:
-        e = e.repartition(par)
+    # stage uses every core (cheap one-pass shuffle of the vector table).
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     e = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -81,11 +81,11 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings in wide form with an exact-decimal L2 norm per vector."""
     e = tbl(spark, sf_dir, "embeddings")
     # Single-file parquet reads as ONE partition → the decimal dot-product
-    # stage would serialize on one core. Spread rows first; at cluster
-    # scale the table is many files and this no-ops.
-    par = spark.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < par:
-        e = e.repartition(par)
+    # stage would serialize on one core. Unconditional repartition: spreads
+    # rows locally AND acts as the materialization barrier for the cast
+    # vector column (cheaper than an .rdd partition-count probe, which
+    # pays a Python→JVM RDD conversion per query build).
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     e = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
