@@ -175,6 +175,95 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Near-dup clustering: connected components over the verified Jaccard
+# pair graph — the step that turns pairwise near-dup hits into duplicate
+# CLUSTERS so a pipeline can keep exactly one representative per cluster
+# (cluster_id = min doc_id in the component). Spark side is distributed
+# min-label propagation: each round every vertex takes the min label among
+# itself and its neighbours (one shuffle join + one aggregation per round),
+# with localCheckpoint truncating lineage between rounds — without it the
+# plan doubles per iteration. Convergence is detected from sum(cluster_id),
+# which strictly decreases until fixpoint (labels only ever decrease), so
+# the only driver-side data movement is one scalar per round. Rounds needed
+# = graph diameter; near-dup components are near-cliques (diameter ≈ 2).
+# At 100 TB: localCheckpoint → reliable checkpoint dir, and the
+# alternating large-star/small-star contraction replaces plain propagation
+# if diameters grow (O(log n) rounds). The DuckDB oracle is a recursive
+# CTE computing the same transitive closure — full value-hash check, not
+# rows-only, despite the iterative implementation.
+
+_CC_MAX_ROUNDS = 15
+
+CC_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM p
+  JOIN counts ca ON ca.doc_id = p.doc_a
+  JOIN counts cb ON cb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) > 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION
+  SELECT doc_b, doc_a FROM jp
+),
+reach AS (
+  SELECT src AS doc_id, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+)
+SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+@register("dedup_cluster_cc", sql=CC_SQL, survey=["J13", "A6", "W5"])
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the pair graph once — every propagation round's lineage
+    # would otherwise re-run the full Jaccard DAG.
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(_CC_MAX_ROUNDS):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["cluster_id"],
+                    F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 # --- MinHash + LSH: 8 hash functions (min over md5(k:shingle)), 4 bands of
 # 2 rows; candidate pairs share ≥1 band; candidates verified with exact
 # Jaccard. At 100 TB the band join is the only shuffle that touches all
