@@ -176,3 +176,107 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", n_words.alias("n_word_tokens"), n_punct.alias("n_punct_chars")
     )
+
+
+# --- Deterministic train/val/test split: bucket = first 4 hex chars of
+# md5(doc_id) mod 100 → 90/5/5. Hash-based assignment is the curation
+# primitive that survives reshuffles, re-ingestion, and incremental appends
+# (a row's split never depends on what else is in the corpus) — unlike
+# randomSplit, which is seed- and partitioning-dependent. Pure map-side;
+# no shuffle at any scale.
+
+HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("text_hash_split", sql=HASH_SPLIT_SQL, survey=["P8", "F9"])
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --- TF-IDF top terms per document. Ranking is INTEGER-only (tf desc, df
+# asc, token asc) so the top-k selection is bit-identical across engines;
+# the float tf·idf score is display-only and rounded to 6 dp (ln() can
+# differ in the last ulp between libm and the JVM). Plan shape at 100 TB:
+# one explode + one (doc, tok) aggregation, a token-keyed df aggregation
+# (both map-side partial), a broadcast of the tiny doc-count scalar, and a
+# per-doc window — no corpus-sized join.
+
+_TFIDF_TOP_K = 3
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS tfidf
+  FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, tfidf
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tf DESC, df ASC, tok ASC
+) <= {_TFIDF_TOP_K}
+"""
+
+
+@register("text_tfidf_top_terms", sql=TFIDF_SQL, survey=["A2", "W3", "O3"])
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nzgmdb_spark.functions import pround
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            pround(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP_K)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+    )
