@@ -21,7 +21,8 @@ which the reference lacks entirely.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
+from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -62,6 +63,116 @@ def windowed_counts(
             group_col,
             "n_events",
             "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native event-time session windows (F.session_window): a session
+    extends while consecutive events arrive within `gap`. Declarative path —
+    Spark manages the state store, merges windows, and closes sessions at
+    the watermark. Batch twin: queries.windows.w_sessionize_gaps (same
+    gap-break algebra via lag + cumulative sum)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events LONG, total_value DOUBLE"
+)
+_SESSION_STATE_SCHEMA = "start_us LONG, last_us LONG, n LONG, total DOUBLE"
+
+
+def stateful_sessions(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState — the
+    engine's template for operators the declarative surface can't express
+    (arbitrary per-group mutable state + event-time timeouts). Unlike
+    F.session_window, the state transition is open-coded, so variants the
+    built-in can't do (per-session value caps, decaying gaps, emit-on-update)
+    drop in here. Emits a session when a row arrives more than `gap_minutes`
+    after the previous one, or when the watermark passes the open session's
+    timeout. State is one fixed-width row per active key — at 100 TB this
+    scales with DISTINCT active users inside the watermark horizon, not with
+    event volume, and lives in the partitioned state store (RocksDB on a
+    real cluster). Semantics match the batch twin
+    queries.windows.w_sessionize_gaps (same 30-min gap rule)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+
+    def _emit(rows: list[tuple[Any, ...]]) -> pd.DataFrame:
+        out = pd.DataFrame(rows, columns=cols)
+        for c in ("session_start", "session_end"):
+            out[c] = pd.to_datetime(out[c], unit="us")
+        return out
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        closed: list[tuple[Any, ...]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            closed.append((uid, start_us, last_us, n, total))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(ts_col)
+            start_us = None
+            if state.exists:
+                start_us, last_us, n, total = state.get
+            for ts, val in zip(rows[ts_col], rows["value"]):
+                ts_us = pd.Timestamp(ts).value // 1_000
+                if start_us is not None and ts_us - last_us > gap_us:
+                    closed.append((uid, start_us, last_us, n, total))
+                    start_us = None
+                if start_us is None:
+                    start_us, last_us, n, total = ts_us, ts_us, 1, float(val)
+                else:
+                    last_us = max(last_us, ts_us)
+                    n += 1
+                    total += float(val)
+            state.update((start_us, last_us, n, total))
+            state.setTimeoutTimestamp(last_us // 1_000 + gap_minutes * 60_000)
+        if closed:
+            yield _emit(closed)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _fn,
+            SESSION_OUTPUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

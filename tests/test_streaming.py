@@ -111,3 +111,102 @@ def test_foreach_batch_parity(spark, stream_dir, tmp_path):
         .withColumn("ts", F.to_timestamp("ts"))
     ).count()
     assert total_stream == total_batch == 4  # dups included pre-dedup
+
+
+@pytest.fixture()
+def session_stream_dir(tmp_path):
+    """Three micro-batch files (maxFilesPerTrigger=1). The watermark only
+    advances between batches, so event-time timeouts need a later batch to
+    fire: file1's sentinel pushes the watermark past every open session's
+    timeout, file2 gives the engine a batch in which to evict them."""
+    src = tmp_path / "sessions_src"
+    src.mkdir()
+    batches = [
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 00:10:00", "user_id": 1, "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 00:05:00", "user_id": 2, "value": 5.0},
+        ],
+        [
+            # 50-min gap since user 1's last event → closes session inline
+            {"event_id": 4, "ts": "2024-01-01 01:00:00", "user_id": 1, "value": 3.0},
+            {"event_id": 5, "ts": "2024-01-01 03:00:00", "user_id": 99, "value": 0.0},
+        ],
+        [
+            {"event_id": 6, "ts": "2024-01-01 03:01:00", "user_id": 99, "value": 0.0},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"batch{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return str(src)
+
+
+def _read_session_stream(spark, path):
+    return (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_stateful_sessions(spark, session_stream_dir, tmp_path):
+    from nzgmdb_spark.streaming.events import stateful_sessions
+
+    stream = stateful_sessions(_read_session_stream(spark, session_stream_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # user 1's first session closes inline on the 50-min gap; their second
+    # session and user 2's close by event-time timeout once the 03:00
+    # sentinel drives the watermark past their timeouts. user 99's session
+    # is still open at end-of-stream and must NOT be emitted.
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2, 3.0),
+        (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, 3.0),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1, 5.0),
+    }
+
+
+def test_native_session_window_subset_of_batch(spark, session_stream_dir, tmp_path):
+    """Closed F.session_window sessions must agree with the same aggregation
+    run in batch over the full input (append mode emits a closed subset)."""
+    from nzgmdb_spark.streaming.events import sessionized_counts
+
+    stream = sessionized_counts(_read_session_stream(spark, session_stream_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("native_sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nsess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = (
+        spark.read.schema("event_id LONG, ts STRING, user_id LONG, value DOUBLE")
+        .json(session_stream_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    batch_rows = {
+        (r.user_id, r["session_window"].start, r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    emitted = spark.sql("SELECT * FROM native_sess_out").collect()
+    assert emitted, "no sessions closed — watermark never advanced"
+    for r in emitted:
+        assert (r.user_id, r.session_start, r.n_events, r.total_value) in batch_rows
