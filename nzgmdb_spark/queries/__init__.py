@@ -26,6 +26,7 @@ _MODULES = (
     "nzgmdb_spark.queries.text",
     "nzgmdb_spark.queries.dedup",
     "nzgmdb_spark.queries.similarity",
+    "nzgmdb_spark.queries.sketches",
 )
 
 
