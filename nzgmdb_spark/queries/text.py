@@ -218,6 +218,63 @@ def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Deterministic stratified rebalancing sample: downsample every source
+# to (approximately) HALF the size of the smallest source (a cap below every
+# stratum count, so the predicate is exercised even on a balanced corpus),
+# keeping a row iff its
+# md5 bucket falls under the stratum's integer threshold. Same
+# hash-assignment rationale as text_hash_split — membership is a pure
+# function of (doc_id, corpus stratum counts), reproducible across runs and
+# engines, unlike rand()-based sampling. Plan shape at 100 TB: one
+# map-side-combined count aggregation (rows = #sources), a broadcast of
+# that tiny threshold dim back onto the scan, and a map-side filter — the
+# corpus itself is never shuffled.
+
+STRATIFIED_SAMPLE_SQL = """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT min(n) AS target_n FROM counts),
+b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.source, b.bucket
+FROM b
+JOIN counts ON counts.source = b.source
+CROSS JOIN t
+WHERE b.bucket < floor(500000.0 * t.target_n / counts.n)
+"""
+
+
+@register("text_stratified_sample", sql=STRATIFIED_SAMPLE_SQL, survey=["P7", "J1", "F9"])
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.min("n").alias("target_n"))
+    thresholds = (
+        counts.crossJoin(F.broadcast(target))
+        .select(
+            "source",
+            F.floor(500000.0 * F.col("target_n") / F.col("n")).alias("thr"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(thresholds), "source")
+        .filter(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "source", "bucket")
+    )
+
+
 # --- TF-IDF top terms per document. Ranking is INTEGER-only (tf desc, df
 # asc, token asc) so the top-k selection is bit-identical across engines;
 # the float tf·idf score is display-only and rounded to 6 dp (ln() can
