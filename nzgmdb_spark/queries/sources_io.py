@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -207,3 +208,85 @@ def s9_binary_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = read_waveform_blobs(spark, stage, pattern="*.blob")
     decoded = decode_waveform_blobs(blobs)
     return decoded.select("record_id", "n_samples", "dt")
+
+
+# --- Bucketed co-located fact-fact join (the scale path for J6/J7-class
+# joins, reference merge_flatfiles.py:252-451). Both fact tables are
+# written ONCE bucketed+sorted on the join key (saveAsTable + bucketBy);
+# every later join or aggregation keyed on it then runs with ZERO
+# exchanges — the sort-merge join reads co-located buckets, and the
+# per-order aggregation reuses the same partitioning. At 100 TB this turns
+# the recurring orderkey shuffle (the single largest data movement in the
+# workload) into a one-time write cost amortized across every downstream
+# query. tests/test_sources.py asserts the executed plan has no Exchange
+# before the per-order aggregate.
+
+_N_BUCKETS = 8
+
+
+def _ensure_bucketed(
+    spark: SparkSession, sf_dir: str, table: str, key: str
+) -> str:
+    sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    name = f"bkt_{table}_{sf_key}"
+    if not spark.catalog.tableExists(name):
+        # a prior session may have left the managed location behind while
+        # the in-memory catalog forgot the table — reclaim the scratch dir
+        # (bucket metadata lives in the catalog, so orphaned files are
+        # unusable as a bucketed table anyway)
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        orphan = os.path.join(warehouse, name)
+        if os.path.exists(orphan):
+            shutil.rmtree(orphan)
+        (
+            tbl(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def bucketed_per_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + per-order aggregate over the bucketed tables — the stage that
+    must execute with no Exchange (partitioning on o_orderkey satisfies the
+    aggregate's distribution since it is a subset of the grouping keys)."""
+    o = spark.table(_ensure_bucketed(spark, sf_dir, "orders", "o_orderkey"))
+    li = spark.table(_ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.sum(rev.cast("decimal(38,6)")).alias("rev"))
+    )
+
+
+S_BUCKET_SQL = """
+WITH per_order AS (
+  SELECT o_orderkey, o_orderstatus,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
+  FROM orders
+  JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderstatus
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue
+FROM per_order
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "s_bucketed_colocated_join",
+    sql=S_BUCKET_SQL,
+    survey=["S14", "J6", "J7", "A2"],
+)
+def s_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_order = bucketed_per_order_revenue(spark, sf_dir)
+    return per_order.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )

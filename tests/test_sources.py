@@ -151,3 +151,29 @@ def test_waveform_ascii_sink(spark, tmp_path):
         header = f.readline().split()
     assert header[0] == "ev1_WEL_HN_10"
     assert int(header[3]) == ref["n_samples"]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both facts are bucketed on the join key, so the join + per-order
+    aggregate must move no fact rows: no shuffle Exchange in the executed
+    plan, whether the optimizer picks broadcast (small side fits) or
+    sort-merge (the 100 TB regime, broadcast disabled)."""
+    from nzgmdb_spark.queries.sources_io import bucketed_per_order_revenue
+
+    from tests.conftest import SF_SMALL as sf_dir
+
+    def shuffle_count(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    assert shuffle_count(bucketed_per_order_revenue(spark, sf_dir)) == 0
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketed_per_order_revenue(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
