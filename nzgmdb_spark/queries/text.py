@@ -315,10 +315,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # df derived from tf — each tf row is a distinct (doc, tok), so a count
+    # over a tok-partitioned window equals the document frequency. Keeping
+    # it a window (not a self-join against a second aggregation) gives one
+    # corpus explode and a single linear pipeline: explode → (doc,tok) agg
+    # → tok window → doc window. The naive two-branch form explodes the
+    # corpus twice — Spark's exchange reuse does not collapse the duplicate
+    # subtrees here.
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df, "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
