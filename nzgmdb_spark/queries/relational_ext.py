@@ -348,3 +348,49 @@ def a_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --- Salted skew join (beyond-reference scale technique). AQE's skew-join
+# splitting handles moderate skew automatically (session.py), but a single
+# pathological hot key — a power-law user, a null bucket — can exceed what
+# one split can absorb: every row of that key still hash-routes to one
+# reducer. Salting breaks the key on purpose: the fact side gets a
+# deterministic salt (event_id % N), the small per-key dim is replicated
+# ×N, and the join key becomes (key, salt), spreading the hot key across N
+# partitions. The predicate is exact-decimal (value·n > 2·Σvalue, no
+# division) so both engines agree at the boundary bit-for-bit.
+
+_N_SALTS = 8
+
+SALTED_SKEW_SQL = """
+WITH stats AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,6))) AS sum_v
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       count(*) AS n_above_2x_mean
+FROM events e
+JOIN stats s ON s.user_id = e.user_id
+WHERE CAST(e.value AS DECIMAL(38,6)) * s.n > 2 * s.sum_v
+GROUP BY e.user_id
+"""
+
+
+@register("j_salted_skew_join", sql=SALTED_SKEW_SQL, survey=["J6", "A2", "P7"])
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_v"),
+    )
+    stats_rep = stats.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)]))
+    )
+    salted = e.withColumn("salt", (F.col("event_id") % _N_SALTS).cast("int"))
+    return (
+        salted.join(stats_rep, ["user_id", "salt"])
+        .filter(F.col("value").cast("decimal(38,6)") * F.col("n") > 2 * F.col("sum_v"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_above_2x_mean"))
+    )
