@@ -70,11 +70,14 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the tokenized corpus, repaid ~50× in shingling CPU. At
     cluster scale the same role is played by a tokenized staging table.
     """
-    d = tbl(spark, sf_dir, "documents")
+    return _tokenize(spark, tbl(spark, sf_dir, "documents"))
+
+
+def _tokenize(spark: SparkSession, docs: DataFrame) -> DataFrame:
     w = F.split(F.col("text"), " ")
     # guard: Spark's sequence(0, n) runs DESCENDING for n<0, so docs with
     # <3 tokens must be dropped (DuckDB's generate_series is empty there).
-    toks = d.filter(F.size(w) >= 3).select("doc_id", w.alias("w"))
+    toks = docs.filter(F.size(w) >= 3).select("doc_id", w.alias("w"))
     return toks.repartition(spark.sparkContext.defaultParallelism)
 
 
@@ -135,7 +138,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~6 µs per emitted struct — measured 7× slower end-to-end). At
     # 100 TB the posting-list grouping is also where a frequent-shingle
     # cap would slot in to bound skew.
-    toks = _tokenized_docs(spark, sf_dir)
+    return _jaccard_pairs(_tokenized_docs(spark, sf_dir))
+
+
+def _jaccard_pairs(toks: DataFrame, threshold: float = 0.5) -> DataFrame:
     grams = _grams()
     # Carry the per-doc set size THROUGH the explode by zipping it next to
     # each shingle inside one generator expression: `size(grams)` in a
@@ -170,7 +176,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") > 0.5)
+        .filter(F.col("jaccard") > threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
@@ -600,4 +606,101 @@ def dedup_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", dot_exact / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= _COS_THRESHOLD)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+# --- End-to-end corpus curation DAG: the canonical training-data prep
+# pipeline composed from the engine's own stages — quality gate → exact
+# dedup → n-gram near-dup drop → deterministic hash split — as ONE
+# declarative plan, fully value-hash-checked against a DuckDB CTE chain.
+# Drop policy for near-dups is "doc_b of any verified pair" (the higher
+# doc_id): deterministic and join-free; the cluster-representative variant
+# is dedup_cluster_cc. Plan shape at 100 TB: every stage is a filter,
+# window, or the two-shuffle posting-list pair generator over the
+# *surviving* (shrinking) corpus; the drop list and split assignment are
+# map-side (broadcast anti join + md5 arithmetic).
+
+CURATION_SQL = """
+WITH q AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 20
+    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) > 0.3
+),
+uniq AS (
+  SELECT doc_id, text FROM q
+  QUALIFY row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) = 1
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM uniq),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup_b AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM pairs p
+  JOIN counts ca ON ca.doc_id = p.doc_a
+  JOIN counts cb ON cb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) > 0.5
+),
+kept AS (
+  SELECT doc_id FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 100 AS bucket
+  FROM kept
+)
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register(
+    "pipeline_text_curation",
+    sql=CURATION_SQL,
+    survey=["P7", "A5", "A6", "J13", "P8", "F9", "W4"],
+)
+def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    q = d.filter((F.size(t) >= 20) & (ttr > 0.3)).select("doc_id", "text")
+    fp = F.md5(F.lower(F.col("text")).cast("binary"))
+    uniq = (
+        q.withColumn(
+            "rn", F.row_number().over(Window.partitionBy(fp).orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pairs = _jaccard_pairs(_tokenize(spark, uniq), threshold=0.5)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = uniq.join(F.broadcast(drops), "doc_id", "left_anti")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return kept.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
     )
