@@ -343,3 +343,31 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_TOP_K)
         .select("doc_id", "tok", "tf", "df", "tfidf")
     )
+
+
+# --- Global vocabulary top-k: most frequent tokens corpus-wide with a
+# total-order tie-break (count desc, token asc) so the cut is engine-exact.
+# Scale shape: explode → map-side-combined count (intermediate is vocab-
+# sized, not corpus-sized) → TakeOrdered top-k (per-partition partial
+# top-k, no global sort materialization — Spark plans orderBy+limit as
+# TakeOrderedAndProject).
+
+TOP_TOKENS_SQL = """
+SELECT tok, count(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+
+@register("text_top_tokens", sql=TOP_TOKENS_SQL, survey=["O2", "O3", "A2"])
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
