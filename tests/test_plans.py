@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4 and the
+query docstrings claim — pushdown reaching the parquet scan, broadcast for
+dim joins, map-only pipelines staying shuffle-free, and the hand-tuned
+shuffle budgets of the dedup queries — asserted so a refactor that silently
+reintroduces an exchange or blocks pushdown fails CI, not the benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nzgmdb_spark.queries import load_registry
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = load_registry()[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_shuffles(plan: str) -> int:
+    return plan.count("Exchange hashpartitioning")
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # the shipdate predicate must reach the parquet scan ...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ... and unused columns must be pruned out of the read schema
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+
+
+def test_q3_q5_broadcast_dims(spark):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_map_only_queries_have_no_shuffle(spark):
+    # per-row transforms must stay map-side at any scale
+    for name in ("text_quality_score", "text_hash_split", "text_fingerprint",
+                 "text_regex_tokens"):
+        plan = plan_of(spark, name)
+        assert n_shuffles(plan) == 0, f"{name} gained a shuffle"
+
+
+def test_jaccard_shuffle_budget(spark):
+    # posting-list formulation: groupBy(shingle) + groupBy(pair) and the
+    # deliberate tokenize repartition — any join-based regression adds more
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert n_shuffles(plan) == 2, plan.count("Exchange")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_tfidf_single_explode(spark):
+    plan = plan_of(spark, "text_tfidf_top_terms")
+    assert plan.count("Generate explode") == 1
+    assert n_shuffles(plan) == 3
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    plan = plan_of(spark, "knn_cosine_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_broadcasts_thresholds(spark):
+    plan = plan_of(spark, "text_stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side scan must not be shuffled for the join
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_everywhere(spark):
+    # every groupBy aggregation must plan partial (map-side) + final pairs:
+    # the partial_ prefix in the aggregate expressions marks map-side combine
+    for name in ("t_daily_rollup", "a_approx_distinct_sketch"):
+        plan = plan_of(spark, name)
+        assert "partial_" in plan, f"{name} lost map-side aggregation"

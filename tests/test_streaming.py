@@ -5,6 +5,7 @@ table (the arrival pattern of FIXTURES.md §16: duplicates + late rows)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -137,9 +138,16 @@ def session_stream_dir(tmp_path):
         ],
     ]
     for i, rows in enumerate(batches):
-        with open(src / f"batch{i}.json", "w") as f:
+        path = src / f"batch{i}.json"
+        with open(path, "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
+        # FileStreamSource orders batches by file modification time (ms
+        # granularity): files written in the same millisecond arrive in
+        # arbitrary order, so stamp strictly increasing mtimes to make
+        # the micro-batch sequence deterministic.
+        base = 1_700_000_000 + 10 * i
+        os.utime(path, (base, base))
     return str(src)
 
 
