@@ -195,3 +195,54 @@ def foreach_batch_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
     )
+
+
+RUNNING_TOTALS_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def running_user_totals(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running aggregates via transformWithStateInPandas — the
+    modern (Spark 4) arbitrary-state API with typed, individually-addressable
+    state variables (ValueState/ListState/MapState, optional TTL, timers),
+    superseding applyInPandasWithState's single state tuple. Emits the
+    updated running (count, sum) for each key touched by a micro-batch;
+    because the accumulation is commutative, the LAST emission per key
+    always equals the batch groupBy aggregate regardless of arrival order —
+    the property the batch-parity test asserts. State is one fixed-width
+    row per key in the partitioned state store.
+
+    Requires protobuf at runtime (the transformWithState Python worker
+    speaks a proto control channel to the JVM state server); environments
+    without it get an ImportError here rather than a mid-query crash, and
+    applyInPandasWithState (stateful_sessions) remains the fallback."""
+    import google.protobuf  # noqa: F401  -- fail fast if unavailable
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            existing = self._agg.get() if self._agg.exists() else (0, 0.0)
+            n, total = int(existing[0]), float(existing[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -218,3 +218,38 @@ def test_native_session_window_subset_of_batch(spark, session_stream_dir, tmp_pa
     assert emitted, "no sessions closed — watermark never advanced"
     for r in emitted:
         assert (r.user_id, r.session_start, r.n_events, r.total_value) in batch_rows
+
+
+def test_transform_with_state_running_totals(spark, session_stream_dir, tmp_path):
+    """The last per-key emission of the transformWithState running
+    aggregate must equal the batch groupBy over the full input."""
+    pytest.importorskip("google.protobuf")
+    from nzgmdb_spark.streaming.events import running_user_totals
+
+    stream = running_user_totals(_read_session_stream(spark, session_stream_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink appends every update; the row with the max n_events per
+    # user is the final state
+    rows = spark.sql(
+        """SELECT user_id, n_events, total_value FROM tws_out
+           QUALIFY row_number() OVER (
+             PARTITION BY user_id ORDER BY n_events DESC) = 1"""
+    ).collect()
+    got = {(r.user_id, r.n_events, r.total_value) for r in rows}
+    batch = (
+        spark.read.schema("event_id LONG, ts STRING, user_id LONG, value DOUBLE")
+        .json(session_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    )
+    want = {(r.user_id, r.n, r.t) for r in batch}
+    assert got == want
