@@ -149,3 +149,159 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# --- Q6: forecasting revenue change — the canonical full-pushdown scan:
+# every predicate reaches the parquet reader, the aggregate is a single
+# map-side-combined decimal sum, zero joins.
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", sql=Q6_SQL, survey=["P1", "A2", "F9"])
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# --- Q10: returned-item reporting — fact ⋈ fact (orders⋈lineitem) with a
+# returnflag filter pushed to the lineitem scan, customer/nation broadcast,
+# revenue-ranked top 20 with full tie-break.
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+         AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", sql=Q10_SQL, survey=["J6", "A2", "O2", "P1"])
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = tbl(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- Q14: promotion effect — broadcast dim join + conditional decimal
+# sums; the ratio divides two exact sums so it is bit-stable.
+
+Q14_SQL = """
+SELECT (CAST(100.0 AS DOUBLE)
+        * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE))
+       / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@register("q14_promo_effect", sql=Q14_SQL, survey=["J1", "A2", "F9"])
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = tbl(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- Q18: large-volume customers — the HAVING-on-aggregate pattern: the
+# qualifying order set is found with one per-order aggregation (map-side
+# partial), then only those few keys join back to customer/orders.
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(b.sum_qty AS DOUBLE) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q18_large_volume_customer", sql=Q18_SQL, survey=["J6", "A8", "P4", "A2"])
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty_d"))
+        .filter(F.col("sum_qty_d") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        )
+    )
