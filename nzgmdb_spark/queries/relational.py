@@ -497,3 +497,24 @@ def j7_inner_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(pairs, l.l_orderkey == pairs.o_orderkey).select(
         "l_orderkey", "l_suppkey", "l_extendedprice"
     )
+
+
+# --- U2: set intersection (reference index-intersection update join,
+# tect_domain.py:83) — distinct keys present in BOTH filtered branches.
+# Spark plans intersect as aggregate + left-semi; both branches are scans
+# of the same table with disjoint pushed predicates.
+
+U2_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 150.0
+"""
+
+
+@register("u2_intersect_keys", sql=U2_SQL, survey=["U2", "A5", "P1"])
+def u2_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    big = F.col("value") > 150.0
+    buyers = e.filter((F.col("event_type") == "purchase") & big).select("user_id")
+    erroring = e.filter((F.col("event_type") == "error") & big).select("user_id")
+    return buyers.intersect(erroring)

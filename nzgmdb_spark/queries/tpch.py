@@ -683,3 +683,39 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# --- Q16: parts/supplier relationship — grouped COUNT(DISTINCT) (planned
+# as a two-phase partial-distinct aggregate) with a NOT-IN supplier
+# blacklist that rewrites to a broadcast anti join (keys are non-null).
+
+Q16_SQL = """
+SELECT p.p_brand, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+@register("q16_supplier_part_count", sql=Q16_SQL, survey=["A5", "P5", "J1", "A2"])
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    l = tbl(spark, sf_dir, "lineitem")
+    bad = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )

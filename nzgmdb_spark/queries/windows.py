@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nzgmdb_spark.functions import dsum
 from nzgmdb_spark.operators.windows import group_argmin, mark_duplicates
 from nzgmdb_spark.queries.registry import register
 from nzgmdb_spark.tables import tbl
@@ -173,4 +174,54 @@ def w_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
+    )
+
+
+# --- Lag/lead deltas: per-entity ordered difference (the reference's
+# per-record sequential comparisons, e.g. phase-arrival deltas) expressed
+# as one window pass — value step from the previous event and transition
+# count to the next event's type, rolled up per event type.
+
+LAGLEAD_SQL = """
+WITH w AS (
+  SELECT event_type,
+         value - lag(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type,
+       count(delta) AS n_deltas,
+       CAST(sum(CAST(delta AS DECIMAL(38,6))) AS DOUBLE) AS sum_delta,
+       CAST(sum(CASE WHEN next_type IS NOT NULL AND next_type <> event_type
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions
+FROM w
+GROUP BY event_type
+"""
+
+
+@register("w_lag_lead_delta", sql=LAGLEAD_SQL, survey=["W1", "W2", "A2", "F9"])
+def w_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    # One shuffle on user_id serves both window functions; the rollup after
+    # is a tiny 5-group aggregate with map-side partials.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "event_type",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return stepped.groupBy("event_type").agg(
+        F.count("delta").alias("n_deltas"),
+        dsum("delta", "sum_delta"),
+        F.sum(
+            F.when(
+                F.col("next_type").isNotNull()
+                & (F.col("next_type") != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_transitions"),
     )
