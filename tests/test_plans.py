@@ -78,3 +78,61 @@ def test_partial_aggregation_everywhere(spark):
     for name in ("t_daily_rollup", "a_approx_distinct_sketch"):
         plan = plan_of(spark, name)
         assert "partial_" in plan, f"{name} lost map-side aggregation"
+
+
+def test_tpch_no_sort_merge_joins_at_small_sf(spark):
+    # every TPC-H-shaped query broadcasts its dims (and, at this SF, its
+    # sub-threshold fact sides): a SortMergeJoin appearing here means a
+    # broadcast hint was lost in a refactor
+    for name in (
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q10_returned_items", "q13_customer_distribution", "q14_promo_effect",
+        "q15_top_supplier", "q16_supplier_part_count", "q17_small_quantity",
+        "q18_large_volume_customer", "q19_discounted_revenue",
+        "q22_dormant_customers",
+    ):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, f"{name} lost a broadcast"
+
+
+def test_q6_full_pushdown_zero_shuffle(spark):
+    # the canonical pushdown scan: all predicates reach the reader, only
+    # the four referenced columns are read, and the single global sum has
+    # no hash shuffle at all
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # toString truncates the PushedFilters list, so assert the head of the
+    # list plus the DataFilters (untruncated) for the range predicates
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    assert "(l_quantity" in plan and "(l_shipdate" in plan
+    assert "l_returnflag" not in plan  # pruned
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    )
+    assert n_shuffles(plan) == 0
+
+
+def test_q18_single_shuffle_having(spark):
+    # HAVING-on-aggregate: one shuffle for the per-order sum; the join back
+    # to orders reuses broadcast (small surviving key set at any SF since
+    # the filter is highly selective)
+    plan = plan_of(spark, "q18_large_volume_customer")
+    assert n_shuffles(plan) == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_decorrelated_single_shuffle(spark):
+    # the correlated scalar subquery must stay decorrelated: one shuffle
+    # (per-part average over the part-restricted subset), never a window
+    # or re-aggregation over the full fact table
+    plan = plan_of(spark, "q17_small_quantity")
+    assert n_shuffles(plan) == 1
+    assert "Window" not in plan
+
+
+def test_lag_lead_single_window_pass(spark):
+    # both lag and lead ride ONE user_id window partition: 2 shuffles total
+    # (window partitioning + final 5-group rollup)
+    plan = plan_of(spark, "w_lag_lead_delta")
+    assert plan.count("Window") == 1
+    assert n_shuffles(plan) == 2
