@@ -31,16 +31,27 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized parquet
-        # reader rejects; read nanos as long and downcast to microseconds
-        # (floor), matching DuckDB's TIMESTAMP_NS → TIMESTAMP coercion.
+        # Older generator builds stored ts as TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects; newer builds store TIMESTAMP(US).
+        # Read with nanosAsLong enabled (a no-op for micros) and downcast only
+        # when ts actually surfaces as a long, matching DuckDB's
+        # TIMESTAMP_NS → TIMESTAMP coercion.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, not double `/`: epoch-nanos exceed double's 2^53
-        # exact-integer range, so float division would corrupt microseconds.
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer `div`, not double `/`: epoch-nanos exceed double's 2^53
+            # exact-integer range, so float division would corrupt microseconds.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # TIMESTAMP(US, isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ,
+            # which rejects numeric casts downstream queries rely on. The
+            # session timezone is pinned to UTC, so reinterpreting as the
+            # instant type is lossless and matches DuckDB's naive TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
