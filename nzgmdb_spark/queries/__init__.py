@@ -14,6 +14,7 @@ from nzgmdb_spark.queries.registry import REGISTRY, QuerySpec, register  # noqa:
 
 _MODULES = (
     "nzgmdb_spark.queries.tpch",
+    "nzgmdb_spark.queries.tpch_sub",
     "nzgmdb_spark.queries.relational",
     "nzgmdb_spark.queries.relational_ext",
     "nzgmdb_spark.queries.geo",

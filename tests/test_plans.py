@@ -90,9 +90,24 @@ def test_tpch_no_sort_merge_joins_at_small_sf(spark):
         "q15_top_supplier", "q16_supplier_part_count", "q17_small_quantity",
         "q18_large_volume_customer", "q19_discounted_revenue",
         "q22_dormant_customers",
+        "q2_min_cost_supplier", "q4_priority_exists", "q9_product_profit",
+        "q12_priority_counts", "q20_share_threshold", "q21_waiting_supplier",
     ):
         plan = plan_of(spark, name)
         assert "SortMergeJoin" not in plan, f"{name} lost a broadcast"
+
+
+def test_q2_q20_single_fact_scan(spark):
+    # the per-group extremum/total comes from a window over the small
+    # (part, supplier)-grain aggregate, NOT a second aggregate joined back:
+    # a rejoin would re-evaluate the whole fact-scan subtree (exchange
+    # reuse does not collapse an aggregate branch), doubling the dominant
+    # cost at scale. One lineitem scan each, bounded shuffle budget.
+    for name, max_shuffles in (("q2_min_cost_supplier", 2),
+                               ("q20_share_threshold", 2)):
+        plan = plan_of(spark, name)
+        assert plan.count("lineitem.parquet") == 1, f"{name} re-scans the fact"
+        assert n_shuffles(plan) <= max_shuffles, f"{name} shuffle budget blown"
 
 
 def test_q6_full_pushdown_zero_shuffle(spark):
