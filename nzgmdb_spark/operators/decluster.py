@@ -164,3 +164,214 @@ def decluster(
 def decimal_year_py(ts_epoch_s: float, year: int, year_start_s: float, year_end_s: float) -> float:
     """Scalar twin of functions.decimal_year for driver-side checks."""
     return year + (ts_epoch_s - year_start_s) / (year_end_s - year_start_s)
+
+
+def decluster_distributed(
+    events_df: DataFrame,
+    corners_by_evid: dict[str, list[tuple[float, float]]],
+    crjb_cutoff_km: float = 10.0,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Distributed declustering, exact-equivalent to the sequential greedy.
+
+    The sequential algorithm (reference aftershocks.py:222-308) looks
+    inherently ordered, but decomposes into Spark-shaped pieces:
+
+    1. **Eligibility pairs** — one join builds every (claimer k, target j)
+       with ``mag_j ≤ mag_k``, ``0 ≤ t_j − t_k ≤ W(mag_k)`` and CRJB ≤
+       cutoff (CRJB via an Arrow-batched pandas UDF over broadcast rupture
+       polygons). At catalog scale this is a broadcast theta-join; at
+       larger scale it becomes a time-bucketed range join on
+       ``floor(t / max_window)``.
+    2. **Mainshock fixpoint** — whether an event was unclaimed when its
+       turn came depends only on STRICTLY earlier-priority events
+       (priority = mag desc, evid asc), so ``mainshock_at_turn`` is the
+       classic greedy-MIS-by-priority fixpoint: an event is claimed as
+       soon as any earlier eligible claimer is known to be a mainshock,
+       and is a mainshock once every earlier eligible claimer is known
+       not to be. Each round is one join + aggregation; rounds needed =
+       longest claim-chain depth, not catalog size.
+    3. **Claim assignment** — derived in one pass: a claimed event's
+       claimer is the minimum-priority eligible mainshock (the first one
+       processed). A second tiny fixpoint resolves the equal-magnitude
+       corner case (a mainshock that claimed nothing can itself be
+       claimed by an equal-magnitude later-priority mainshock — the
+       reference's ``cluster[j] != cluster[i]`` guard), which chains only
+       inside equal-magnitude groups.
+
+    Returns ``events_df`` columns plus ``aftershock_flag`` (int) and
+    ``cluster_evid`` (claimer's evid for cluster members, own evid for
+    claiming mainshocks, null for unclustered singletons). Cluster ids
+    are canonical labels, not the sequential version's arrival-order
+    integers — compare partitions, not labels.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = events_df.sparkSession
+    corners_bc = spark.sparkContext.broadcast(corners_by_evid)
+
+    # NOTE: annotation-free signature — `from __future__ import annotations`
+    # turns hints into strings that pandas_udf's type-hint inference cannot
+    # resolve for function-local imports.
+    def _crjb_batch(evid_k, lat_j, lon_j):
+        corners = corners_bc.value
+        return pd.Series(
+            [
+                crjb_km(lat, lon, corners[e])
+                for e, lat, lon in zip(evid_k, lat_j, lon_j)
+            ]
+        )
+
+    crjb_udf = pandas_udf(_crjb_batch, "double")
+
+    from pyspark.sql import Window
+
+    e = events_df.select(
+        "evid",
+        F.col("datetime").cast("double").alias("t"),
+        "mag",
+        "lat",
+        "lon",
+    ).withColumn(
+        "prio",
+        F.row_number().over(Window.orderBy(F.col("mag").desc(), F.col("evid"))),
+    )
+    window_s = (
+        F.when(
+            F.col("k_mag") >= 6.5,
+            F.pow(F.lit(10.0), 0.032 * F.col("k_mag") + 2.7389),
+        ).otherwise(F.pow(F.lit(10.0), 0.5409 * F.col("k_mag") - 0.547))
+        * 86400.0
+    )
+    k = e.select(
+        F.col("prio").alias("k_prio"),
+        F.col("evid").alias("k_evid"),
+        F.col("t").alias("k_t"),
+        F.col("mag").alias("k_mag"),
+    ).withColumn("k_win", window_s)
+    j = e.select(
+        F.col("prio").alias("j_prio"),
+        F.col("evid").alias("j_evid"),
+        F.col("t").alias("j_t"),
+        F.col("mag").alias("j_mag"),
+        F.col("lat").alias("j_lat"),
+        F.col("lon").alias("j_lon"),
+    )
+    pairs = (
+        k.join(
+            j,
+            (F.col("j_mag") <= F.col("k_mag"))
+            & (F.col("j_t") >= F.col("k_t"))
+            & (F.col("j_t") <= F.col("k_t") + F.col("k_win"))
+            & (F.col("k_evid") != F.col("j_evid")),
+        )
+        .filter(crjb_udf("k_evid", "j_lat", "j_lon") <= F.lit(crjb_cutoff_km))
+        .select("k_prio", "k_evid", "j_prio", "j_evid", "k_mag", "j_mag")
+        .localCheckpoint()
+    )
+
+    # --- Phase A: mainshock-at-turn fixpoint over earlier-priority edges.
+    ep = pairs.filter(F.col("k_prio") < F.col("j_prio")).select("k_prio", "j_prio")
+    state = e.select("prio").withColumn("m", F.lit(None).cast("boolean"))
+    for _ in range(max_rounds):
+        und = state.filter(F.col("m").isNull()).count()
+        if und == 0:
+            break
+        k_state = state.select(
+            F.col("prio").alias("k_prio"), F.col("m").alias("k_m")
+        )
+        agg = (
+            ep.join(k_state, "k_prio")
+            .groupBy("j_prio")
+            .agg(
+                F.max(F.when(F.col("k_m"), 1).otherwise(0)).alias("has_m"),
+                F.max(F.when(F.col("k_m").isNull(), 1).otherwise(0)).alias("has_u"),
+            )
+        )
+        state = (
+            state.join(agg, state.prio == agg.j_prio, "left")
+            .select(
+                "prio",
+                F.when(F.col("m").isNotNull(), F.col("m"))
+                .when(F.coalesce(F.col("has_m"), F.lit(0)) == 1, F.lit(False))
+                .when(F.coalesce(F.col("has_u"), F.lit(0)) == 0, F.lit(True))
+                .alias("m"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(f"decluster fixpoint did not converge in {max_rounds} rounds")
+
+    # --- Phase B1: early claims — min-priority eligible mainshock claims.
+    m_true = state.filter(F.col("m")).select(F.col("prio").alias("k_prio"))
+    early = (
+        ep.join(m_true, "k_prio")
+        .groupBy("j_prio")
+        .agg(F.min("k_prio").alias("claimer_prio"))
+    )
+
+    # --- Phase B2: equal-mag late claims (a mainshock that claimed nothing
+    # can be claimed by an equal-magnitude LATER-priority mainshock — the
+    # reference's ``cluster[j] != cluster[i]`` guard, aftershocks.py:222-308).
+    # The candidate set is both-mainshock, equal-magnitude, in-window,
+    # in-CRJB pairs — a degenerate sliver of the catalog — and its claims
+    # interleave with early claims in strict priority order, so it is
+    # resolved exactly on the driver: iterate pairs by claimer priority
+    # (= processing order); a claimer takes a target unless the target
+    # already claimed something (immune) or was taken by an earlier
+    # claimer. Every late claimer is genuinely mainshock-at-turn (an
+    # earlier-priority claim would have flipped it in Phase A), so no
+    # further conditions apply.
+    prio_evid = e.select("prio", F.col("evid").alias("p_evid"))
+    late_rows = (
+        pairs.filter(
+            (F.col("k_prio") > F.col("j_prio")) & (F.col("k_mag") == F.col("j_mag"))
+        )
+        .join(m_true, "k_prio")
+        .join(
+            state.filter(F.col("m")).select(F.col("prio").alias("j_prio")),
+            "j_prio",
+        )
+        .select("k_prio", "j_prio")
+        .collect()
+    )
+    has_claims_prios = {r.claimer_prio for r in early.select("claimer_prio").collect()}
+    late_assign: dict[int, int] = {}
+    for kp, jp in sorted((r.k_prio, r.j_prio) for r in late_rows):
+        if jp in late_assign or jp in has_claims_prios:
+            continue
+        late_assign[jp] = kp
+        has_claims_prios.add(kp)
+    claims = early
+    if late_assign:
+        claims = early.unionByName(
+            spark.createDataFrame(
+                [(j, c) for j, c in late_assign.items()],
+                ["j_prio", "claimer_prio"],
+            )
+        )
+    has_claims = spark.createDataFrame(
+        [(p,) for p in sorted(has_claims_prios)] or [(None,)], ["prio"]
+    ).filter(F.col("prio").isNotNull())
+
+    # --- Assemble output: aftershock flag + canonical cluster label.
+    claimer_evid = prio_evid.select(
+        F.col("prio").alias("claimer_prio"), F.col("p_evid").alias("cluster_evid")
+    )
+    claimed = claims.join(claimer_evid, "claimer_prio").select(
+        F.col("j_prio").alias("prio"),
+        F.lit(1).alias("aftershock_flag"),
+        "cluster_evid",
+    )
+    claiming_main = has_claims.join(
+        prio_evid, "prio"
+    ).select("prio", F.lit(0).alias("aftershock_flag"), F.col("p_evid").alias("cluster_evid"))
+    flags = claimed.unionByName(
+        claiming_main.join(claims.select(F.col("j_prio").alias("prio")), "prio", "left_anti")
+    )
+    return (
+        e.join(flags, "prio", "left")
+        .withColumn("aftershock_flag", F.coalesce("aftershock_flag", F.lit(0)))
+        .select("evid", "mag", "aftershock_flag", "cluster_evid")
+    )

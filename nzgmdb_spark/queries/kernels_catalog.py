@@ -459,6 +459,45 @@ def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("evid", "mag", "aftershock_flag", "cluster_flag")
 
 
+# --- W5 distributed: the same declustering as an iterative DataFrame
+# algorithm (eligibility theta-join + CRJB pandas UDF, then the
+# mainshock-at-turn priority fixpoint — one join+aggregation per round,
+# rounds = claim-chain depth). Exact-equivalent to the sequential version
+# (tests/test_decluster.py::test_distributed_matches_sequential); this is
+# the path that scales past a driver-collectable catalog.
+
+@register("w5_decluster_distributed", sql=None, survey=["W5", "K15"])
+def w5_decluster_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    ev = (
+        _points(spark, sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .withColumn("mag", F.expr(_MAG))
+        .join(
+            tbl(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+        )
+        .select(
+            F.col("event_id").cast("string").alias("evid"),
+            F.col("ts").alias("datetime"),
+            "mag",
+            "lat",
+            "lon",
+        )
+    )
+    rows = ev.select("evid", "lat", "lon").collect()
+    corners = {
+        r.evid: [
+            (r.lat - 0.15, r.lon - 0.15),
+            (r.lat - 0.15, r.lon + 0.15),
+            (r.lat + 0.15, r.lon + 0.15),
+            (r.lat + 0.15, r.lon - 0.15),
+        ]
+        for r in rows
+    }
+    return decluster_distributed(ev, corners, crjb_cutoff_km=10.0)
+
+
 # --- K11/A11/A12: seeded Monte-Carlo rupture simulation per event
 # (reference ccldpy.py:921-1694 runs 1000 seeded sims per event, then
 # log-mean area stats and median-sim selection; seeding from the DATA —

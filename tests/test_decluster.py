@@ -65,6 +65,77 @@ def test_decluster_golden_three_events():
     assert cluster == [1, 1, 0]
 
 
+def _partitions(evids, cluster_labels):
+    """Canonical cluster partition: set of frozensets, singletons dropped.
+
+    The sequential algorithm numbers clusters by arrival order and the
+    distributed one labels them by claimer evid — only the grouping is
+    comparable.
+    """
+    by_label: dict = {}
+    for e, c in zip(evids, cluster_labels):
+        if c is None or c == 0:
+            continue
+        by_label.setdefault(c, set()).add(e)
+    return {frozenset(v) for v in by_label.values()}
+
+
+def _random_catalog(n: int, seed: int) -> list[dict]:
+    """Dense synthetic catalog with heavy magnitude ties, interleaved
+    clusters, and equal-mag late-claim bait (claimless mainshocks inside a
+    bigger equal-mag event's window)."""
+    import random
+
+    rng = random.Random(seed)
+    t0 = _epoch("2020-01-01T00:00:00")
+    events = []
+    for i in range(n):
+        lat = 34.0 + rng.choice([0.0, 0.01, 0.02, 0.5, 1.0, 2.0]) + rng.random() * 0.005
+        lon = -118.0 + rng.choice([0.0, 0.01, 0.5, 1.5]) + rng.random() * 0.005
+        mag = rng.choice([4.0, 4.0, 4.5, 4.5, 5.0, 5.5, 6.0, 6.6])  # many ties
+        dt_days = rng.random() * 60.0
+        events.append(
+            {
+                "evid": f"e{i:04d}",
+                "datetime": t0 + dt_days * 86400.0,
+                "mag": mag,
+                "lat": lat,
+                "lon": lon,
+                "corners": _square(lat, lon),
+            }
+        )
+    return events
+
+
+def test_distributed_matches_sequential(spark):
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    for seed, n in ((7, 120), (23, 200)):
+        events = _random_catalog(n, seed)
+        # sequential tie-break = list index; feed it evid-sorted so it
+        # matches the distributed version's (mag desc, evid asc) priority
+        events.sort(key=lambda e: e["evid"])
+        a_seq, c_seq = decluster_catalog(events, crjb_cutoff_km=10.0)
+
+        df = spark.createDataFrame(
+            [
+                (e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"])
+                for e in events
+            ],
+            ["evid", "datetime", "mag", "lat", "lon"],
+        )
+        corners = {e["evid"]: e["corners"] for e in events}
+        out = decluster_distributed(df, corners, crjb_cutoff_km=10.0)
+        got = {r.evid: r for r in out.collect()}
+
+        evids = [e["evid"] for e in events]
+        a_dist = [got[e].aftershock_flag for e in evids]
+        assert a_dist == a_seq, f"seed {seed}: aftershock flags diverge"
+        assert _partitions(evids, [got[e].cluster_evid for e in evids]) == _partitions(
+            evids, c_seq
+        ), f"seed {seed}: cluster partitions diverge"
+
+
 def test_crjb_inside_polygon_is_zero():
     sq = _square(34.0, -118.0)
     assert crjb_km(34.0, -118.0, sq) == 0.0
