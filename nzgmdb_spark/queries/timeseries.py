@@ -112,6 +112,43 @@ def t_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Sliding event-time windows (30-min windows every 10 min) — the
+# overlapping-window semantics Structured Streaming uses for rate/trend
+# monitors, run as its batch twin. Spark's window() assigns each event to
+# windowDuration/slide = 3 epoch-aligned windows; the oracle reproduces
+# the assignment arithmetically (floor to the 10-min grid, back-shift k
+# slides). Window starts are emitted as epoch seconds so neither engine's
+# timestamp-rendering/timezone rules touch the hash.
+
+SLIDING_SQL = """
+SELECT (CAST(floor(epoch(ts) / 600) AS BIGINT) - g.k) * 600 AS win_start_s,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events, UNNEST(generate_series(0, 2)) AS g(k)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "t_sliding_window_counts", sql=SLIDING_SQL, survey=["T1", "T4", "A2", "F8"]
+)
+def t_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").start.cast("long").alias(
+                "win_start_s"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
 # --- J16: as-of join (temporal membership; reference sliding-window
 # new-event detection real_time_eq_runs.py:505-558). For every purchase,
 # the latest preceding click by the same user. Implemented union-style —

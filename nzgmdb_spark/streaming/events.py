@@ -47,12 +47,15 @@ def windowed_counts(
     window: str = "1 minute",
     watermark: str = "10 minutes",
     group_col: str = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling window aggregation (batch twin:
-    queries.timeseries.t_daily_rollup — same grouping algebra)."""
+    """Event-time window aggregation — tumbling by default, sliding
+    (overlapping) when ``slide`` < ``window`` is given (batch twins:
+    queries.timeseries.t_daily_rollup / t_sliding_window_counts — same
+    grouping algebra)."""
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window), F.col(group_col))
+        .groupBy(F.window(ts_col, window, slide or window), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),

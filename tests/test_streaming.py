@@ -86,6 +86,38 @@ def test_windowed_counts_match_batch(spark, stream_dir, tmp_path):
         assert (r.window_start, r.event_type) in batch_counts
 
 
+def test_sliding_windowed_counts_match_batch(spark, stream_dir, tmp_path):
+    # 2-minute windows sliding every 1 minute: each event lands in 2
+    # overlapping windows; the streamed rows must agree with the batch
+    # twin computed over the same files.
+    stream = windowed_counts(
+        _read_stream(spark, stream_dir), window="2 minutes", slide="1 minute"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = (
+        spark.read.schema("event_id LONG, ts STRING, event_type STRING, value DOUBLE")
+        .json(stream_dir)
+        .groupBy(
+            F.window(F.to_timestamp("ts"), "2 minutes", "1 minute"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    batch_counts = {
+        (r["window"].start, r.event_type): r.n_events for r in batch.collect()
+    }
+    emitted = spark.sql("SELECT * FROM slide_out").collect()
+    for r in emitted:
+        assert batch_counts[(r.window_start, r.event_type)] == r.n_events
+
+
 def test_foreach_batch_parity(spark, stream_dir, tmp_path):
     """The same pure DataFrame function runs in batch and per micro-batch."""
     seen: list[tuple[int, int]] = []
