@@ -110,6 +110,36 @@ def test_q2_q20_single_fact_scan(spark):
         assert n_shuffles(plan) <= max_shuffles, f"{name} shuffle budget blown"
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    # SURVEY §4's partition-pruning analog (the reference's waveforms/
+    # {year}/{evid}/ directory layout): a fact written partitioned by day
+    # joined to a selectively-filtered dim must prune partitions at RUNTIME
+    # via the broadcast result (DPP), not scan every day directory.
+    from pyspark.sql import functions as F
+
+    from nzgmdb_spark.tables import tbl
+
+    fact_path = str(tmp_path / "events_by_day")
+    e = tbl(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    e.write.partitionBy("day").parquet(fact_path)
+    n_days = e.select("day").distinct().count()
+    fact = spark.read.parquet(fact_path)
+    days = sorted(r.day for r in e.select("day").distinct().collect())
+    dim_path = str(tmp_path / "day_dim")
+    spark.createDataFrame(
+        [(d, 1 if d in days[:3] else 0) for d in days], ["day", "keep"]
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("keep") == 1)
+    joined = fact.join(F.broadcast(dim), "day").groupBy("day").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP filter on the fact scan"
+    # and the runtime effect: the scan must touch only the dim's 3 days
+    got_days = {r.day for r in joined.collect()}
+    assert len(got_days) == 3 and n_days > 3
+
+
 def test_q6_full_pushdown_zero_shuffle(spark):
     # the canonical pushdown scan: all predicates reach the reader, only
     # the four referenced columns are read, and the single global sum has
