@@ -1,0 +1,123 @@
+"""Property-based tests: the composable relational operators must agree
+with their pandas reference idioms on arbitrary inputs, not just the
+fixtures (the reference repo has no property tests at all — SURVEY §5).
+
+Hypothesis drives small random tables through the Spark operator and the
+exact pandas construction the reference uses; results compare as sorted
+row-sets. Examples are capped small (Spark job latency dominates) but the
+generators hit the interesting regimes: duplicate keys, all-null override
+columns, empty updates, single-element groups, ties.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.operators.relational import (
+    coalesce_override_join,
+    upsert_by_key,
+)
+from nzgmdb_spark.operators.windows import rolling_mean_centered
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+
+
+def _rows(df) -> set:
+    return {
+        tuple(None if pd.isna(v) else v for v in r)
+        for r in df.toPandas().itertuples(index=False, name=None)
+    }
+
+
+@given(
+    base=st.lists(st.tuples(keys, vals, vals), min_size=0, max_size=12),
+    updates=st.lists(st.tuples(keys, vals, vals), min_size=0, max_size=12),
+)
+@_settings
+def test_upsert_by_key_matches_pandas(spark, base, updates):
+    # pandas model: concat → drop_duplicates(subset=key, keep="last") with
+    # updates appended last (merge_flatfiles.py:696-787). Keys must be
+    # unique per side for the operator's row_number to be deterministic.
+    base = list({k: (k, a, b) for k, a, b in base}.values())
+    updates = list({k: (k, a, b) for k, a, b in updates}.values())
+    cols = ["k", "a", "b"]
+    schema = "k long, a long, b long"
+    b_df = spark.createDataFrame(base, schema=schema)
+    u_df = spark.createDataFrame(updates, schema=schema)
+    got = _rows(upsert_by_key(b_df, u_df, "k").select(*cols))
+
+    model = pd.concat(
+        [
+            pd.DataFrame(base, columns=cols, dtype="object"),
+            pd.DataFrame(updates, columns=cols, dtype="object"),
+        ]
+    ).drop_duplicates(subset=["k"], keep="last")
+    want = {
+        tuple(None if pd.isna(v) else v for v in r)
+        for r in model.itertuples(index=False, name=None)
+    }
+    assert got == want
+
+
+@given(
+    base=st.lists(st.tuples(keys, vals, vals), min_size=0, max_size=12),
+    override=st.lists(st.tuples(keys, vals), min_size=0, max_size=8),
+)
+@_settings
+def test_coalesce_override_join_matches_pandas(spark, base, override):
+    # pandas model: indexed combine_first on the override column
+    # (gen_phase_arrival_table.py:173-189) — null override values never
+    # clobber base values, missing keys keep base rows intact.
+    override = list({k: (k, v) for k, v in override}.values())
+    b_df = spark.createDataFrame(
+        [(i, k, a, b) for i, (k, a, b) in enumerate(base)],
+        schema="rid long, k long, a long, b long",
+    )
+    o_df = spark.createDataFrame(override, schema="k long, a long")
+    got = _rows(
+        coalesce_override_join(b_df, o_df, "k", ["a"]).select("rid", "k", "a", "b")
+    )
+
+    ov = {k: v for k, v in override}
+    want = set()
+    for i, (k, a, b) in enumerate(base):
+        a_new = ov[k] if k in ov and ov[k] is not None else a
+        want.add((i, k, a_new, b))
+    assert got == want
+
+
+@given(
+    series=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_rolling_mean_matches_pandas(spark, series):
+    # pandas model: rolling(window=5, center=True, min_periods=1).mean()
+    # (reference SNR smoothing, fmax.py:163-167) — Spark's shrinking
+    # rowsBetween(-2, 2) frame must agree at both edges.
+    df = spark.createDataFrame(
+        [(0, i, v) for i, v in enumerate(series)], schema="g long, i long, v double"
+    )
+    out = rolling_mean_centered(
+        df, part=["g"], order=[F.col("i")], col="v", out="sm", window=5
+    )
+    got = {r.i: r.sm for r in out.select("i", "sm").collect()}
+    want = (
+        pd.Series(series).rolling(window=5, center=True, min_periods=1).mean()
+    )
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, rel=1e-12), f"idx {i}"
