@@ -371,3 +371,61 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(20)
     )
+
+
+# --- Train/eval decontamination: flag training documents sharing any word
+# 3-gram with a val/test document (the deterministic md5 split above).
+# A core LLM-data-pipeline gate: benchmark leakage into the training split
+# shows up exactly as shingle collisions across the split boundary. Plan:
+# one shingle explode over the corpus, split assignment map-side (pure
+# function of doc_id), distinct eval-side shingles (the small side at a
+# 90/10 split, broadcastable at any scale once distinct), one equi-join on
+# the shingle, one count aggregation — no cross-join anywhere.
+
+DECONTAM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+),
+split AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+),
+marked AS (SELECT sh.doc_id, sh.s, sp.split FROM sh JOIN split sp USING (doc_id)),
+eval_sh AS (SELECT DISTINCT s FROM marked WHERE split = 'eval')
+SELECT m.doc_id, count(*) AS n_shared_shingles
+FROM marked m JOIN eval_sh e ON e.s = m.s
+WHERE m.split = 'train'
+GROUP BY m.doc_id
+"""
+
+
+@register("text_decontaminate", sql=DECONTAM_SQL, survey=["P4", "A2", "J13"])
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.queries.dedup import _grams, _tokenized_docs
+
+    toks = _tokenized_docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    marked = toks.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+        F.explode(_grams()).alias("s"),
+    )
+    eval_sh = marked.filter(F.col("split") == "eval").select("s").distinct()
+    return (
+        marked.filter(F.col("split") == "train")
+        .join(eval_sh, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
