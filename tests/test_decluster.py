@@ -136,6 +136,28 @@ def test_distributed_matches_sequential(spark):
         ), f"seed {seed}: cluster partitions diverge"
 
 
+def test_registry_decluster_paths_agree(spark):
+    # the two registered W5 queries — driver-side sequential and iterative
+    # distributed — must produce identical flags and cluster partitions on
+    # the driver's own catalog fixture
+    from nzgmdb_spark.queries import load_registry
+    from tests.conftest import SF_SMALL
+
+    reg = load_registry()
+    seq = {r.evid: r for r in reg["w5_decluster_catalog"].fn(spark, SF_SMALL).collect()}
+    dist = {
+        r.evid: r for r in reg["w5_decluster_distributed"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(seq) == set(dist)
+    evids = sorted(seq)
+    assert [dist[e].aftershock_flag for e in evids] == [
+        seq[e].aftershock_flag for e in evids
+    ]
+    assert _partitions(evids, [dist[e].cluster_evid for e in evids]) == _partitions(
+        evids, [seq[e].cluster_flag for e in evids]
+    )
+
+
 def test_crjb_inside_polygon_is_zero():
     sq = _square(34.0, -118.0)
     assert crjb_km(34.0, -118.0, sq) == 0.0
