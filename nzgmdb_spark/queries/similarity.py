@@ -379,7 +379,15 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("c_id")
     )
-    ranked = ascored.withColumn("rn", F.row_number().over(w_assign))
+    # Materialize the (vec, centroid) ranking once: both consumers below
+    # (cell assignment + query probes) would otherwise re-run the full
+    # assignment join+aggregate subtree — persist() on dims dedups the
+    # scan but not the 2M-row join work. The ranking itself is only
+    # |corpus|×|centroids| rows. At cluster scale this is the persisted
+    # IVF index table, written once and probed by every query batch.
+    ranked = ascored.withColumn(
+        "rn", F.row_number().over(w_assign)
+    ).localCheckpoint()
     cells = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("c_id").alias("cell")
     )
