@@ -140,6 +140,62 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert len(got_days) == 3 and n_days > 3
 
 
+def test_aqe_skew_join_split(spark):
+    # SURVEY §4: a single hot event (Kaikoura) dominating record counts is
+    # the reference's skew case; AQE must split the hot shuffle partition
+    # at runtime (SortMergeJoin(skew=true) + AQEShuffleRead skewed).
+    # Caveats this test encodes: the skew split applies to the EXECUTED
+    # final plan only (run, then inspect), and an aggregation directly
+    # above the join vetoes the split (its required hash distribution) —
+    # so assert on the plain join output, not a rollup of it.
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+        fact = (
+            spark.range(0, 400000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(
+                    F.col("id") % 1000
+                ),
+            )
+            .withColumn("pad", F.md5(F.col("id").cast("string")))
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("dv")
+        )
+        j = fact.join(dim, "k").select(F.substring("pad", 1, 2).alias("p2"))
+        # collect on j ITSELF: count() spawns its own QueryExecution (with
+        # an agg that would also veto the split), leaving j's plan unrun
+        assert len(j.collect()) == 400000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q6_full_pushdown_zero_shuffle(spark):
     # the canonical pushdown scan: all predicates reach the reader, only
     # the four referenced columns are read, and the single global sum has
