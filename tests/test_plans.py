@@ -38,9 +38,16 @@ def test_q3_q5_broadcast_dims(spark):
 
 
 def test_map_only_queries_have_no_shuffle(spark):
-    # per-row transforms must stay map-side at any scale
+    # per-row transforms must stay map-side at any scale — text scoring,
+    # key build/split, JSON extraction, decimal-year, clamps, regex
+    # predicates, array checks, and the per-record kernel screens
     for name in ("text_quality_score", "text_hash_split", "text_fingerprint",
-                 "text_regex_tokens"):
+                 "text_regex_tokens", "f1_key_build_split", "f7_decimal_year",
+                 "f13_json_extract", "p1_range_filter_projection",
+                 "p6_regex_predicate", "p11_conditional_update_clamp",
+                 "p12_allzero_array_check", "p8_component_split_drop",
+                 "k7_clip_screen", "k8_prob_argmax_pick",
+                 "k9_k10_fetch_window", "o2_topk_desc"):
         plan = plan_of(spark, name)
         assert n_shuffles(plan) == 0, f"{name} gained a shuffle"
 
