@@ -225,9 +225,11 @@ def decluster_distributed(
        reference's ``cluster[j] != cluster[i]`` guard), which chains only
        inside equal-magnitude groups.
 
-    Returns ``events_df`` columns plus ``aftershock_flag`` (int) and
+    Returns columns ``evid, mag, aftershock_flag, cluster_evid`` —
+    ``aftershock_flag`` (int, 1 = claimed by a bigger event) and
     ``cluster_evid`` (claimer's evid for cluster members, own evid for
-    claiming mainshocks, null for unclustered singletons). Cluster ids
+    claiming mainshocks, null for unclustered singletons). Other caller
+    columns are dropped; join back on ``evid`` if needed. Cluster ids
     are canonical labels, not the sequential version's arrival-order
     integers — compare partitions, not labels.
     """
@@ -235,6 +237,25 @@ def decluster_distributed(
     from pyspark.sql.functions import pandas_udf
 
     spark = events_df.sparkSession
+    # Match the sequential path's behavior on partial polygon inputs: the
+    # sequential wrapper raises KeyError on the first evid missing from
+    # corners_by_evid, while the inner join to the broadcast centers
+    # relation below would silently drop such events as claimers. Validate
+    # up front so both registered W5 paths fail identically.
+    known = spark.createDataFrame(
+        [(k,) for k in corners_by_evid], schema="evid string"
+    )
+    missing = [
+        r.evid
+        for r in events_df.select("evid")
+        .join(F.broadcast(known), "evid", "left_anti")
+        .limit(20)
+        .collect()
+    ]
+    if missing:
+        raise KeyError(
+            f"corners_by_evid missing rupture polygons for evids {sorted(missing)}"
+        )
     corners_bc = spark.sparkContext.broadcast(corners_by_evid)
 
     # NOTE: annotation-free signature — `from __future__ import annotations`
@@ -362,7 +383,13 @@ def decluster_distributed(
             .localCheckpoint()
         )
     else:
-        raise RuntimeError(f"decluster fixpoint did not converge in {max_rounds} rounds")
+        # The in-loop check runs before each update, so a run that converges
+        # exactly on round max_rounds' update lands here with a complete
+        # state — re-check before declaring failure.
+        if state.filter(F.col("m").isNull()).count() != 0:
+            raise RuntimeError(
+                f"decluster fixpoint did not converge in {max_rounds} rounds"
+            )
 
     # --- Phase B1: early claims — min-priority eligible mainshock claims.
     m_true = state.filter(F.col("m")).select(F.col("prio").alias("k_prio"))
@@ -413,8 +440,8 @@ def decluster_distributed(
             )
         )
     has_claims = spark.createDataFrame(
-        [(p,) for p in sorted(has_claims_prios)] or [(None,)], ["prio"]
-    ).filter(F.col("prio").isNotNull())
+        [(int(p),) for p in sorted(has_claims_prios)], schema="prio int"
+    )
 
     # --- Assemble output: aftershock flag + canonical cluster label.
     claimer_evid = prio_evid.select(

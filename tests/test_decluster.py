@@ -136,6 +136,51 @@ def test_distributed_matches_sequential(spark):
         ), f"seed {seed}: cluster partitions diverge"
 
 
+def test_distributed_all_singleton_catalog(spark):
+    # ADVICE r1: a catalog where no event claims another (sparse region /
+    # small cutoff) used to crash building the has_claims frame from an
+    # all-None row. Must return all-zero flags, null cluster labels.
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    events = [
+        {
+            "evid": f"s{i}",
+            "datetime": _epoch("2020-01-01T00:00:00") + i * 86400.0 * 90,
+            "mag": 4.0,
+            "lat": 34.0 + i * 3.0,
+            "lon": -118.0,
+        }
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        [(e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"]) for e in events],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: _square(e["lat"], e["lon"]) for e in events}
+    out = {r.evid: r for r in decluster_distributed(df, corners).collect()}
+    assert len(out) == 4
+    assert all(r.aftershock_flag == 0 for r in out.values())
+    assert all(r.cluster_evid is None for r in out.values())
+
+
+def test_distributed_missing_corners_raises(spark):
+    # ADVICE r1: the two W5 paths must fail identically on partial polygon
+    # inputs — sequential raises KeyError, distributed used to silently
+    # drop the event as a claimer via the inner centers join.
+    import pytest
+
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    events = _random_catalog(6, 3)
+    df = spark.createDataFrame(
+        [(e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"]) for e in events],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: e["corners"] for e in events[:-1]}  # drop one
+    with pytest.raises(KeyError, match=events[-1]["evid"]):
+        decluster_distributed(df, corners)
+
+
 def test_registry_decluster_paths_agree(spark):
     # the two registered W5 queries — driver-side sequential and iterative
     # distributed — must produce identical flags and cluster partitions on
