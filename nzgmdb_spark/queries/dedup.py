@@ -239,6 +239,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .localCheckpoint()
     )
+    return propagate_min_labels(edges, max_rounds=_CC_MAX_ROUNDS)
+
+
+def propagate_min_labels(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) -> DataFrame:
+    """Min-label propagation over a symmetric (src, dst) edge list →
+    (doc_id, cluster_id). Raises rather than returning silently-wrong
+    labels if the graph diameter exceeds ``max_rounds``."""
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -246,7 +253,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = None
-    for _ in range(_CC_MAX_ROUNDS):
+    for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
@@ -267,6 +274,15 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # A component with diameter > max_rounds would return
+        # silently-wrong labels — fail loudly instead (same contract as
+        # the decluster fixpoint, operators/decluster.py).
+        raise RuntimeError(
+            f"connected-components propagation did not converge in "
+            f"{max_rounds} rounds (graph diameter too large); raise "
+            "max_rounds or switch to large/small-star contraction"
+        )
     return labels
 
 

@@ -157,3 +157,20 @@ def test_cosine_neardup_lsh_recall(spark):
     assert planted <= set(got), f"missed planted pairs: {planted - set(got)}"
     assert all(c >= 0.9 for c in got.values())
     assert set(got) == planted  # chaff gaussians never reach cosine 0.9
+
+
+def test_cc_propagation_raises_on_deep_chain(spark):
+    # VERDICT r1 #8: a component whose diameter exceeds the round cap must
+    # raise, not return silently-wrong labels. A 20-node path needs 19
+    # propagation rounds for label 0 to reach the far end.
+    from nzgmdb_spark.queries.dedup import propagate_min_labels
+
+    pairs = [(i, i + 1) for i in range(19)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], schema="src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(edges, max_rounds=5)
+    # and with enough rounds the same chain collapses to one cluster
+    out = propagate_min_labels(edges, max_rounds=25)
+    assert {r.cluster_id for r in out.collect()} == {0}
