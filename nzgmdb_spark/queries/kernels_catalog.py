@@ -498,51 +498,97 @@ def w5_decluster_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decluster_distributed(ev, corners, crjb_cutoff_km=10.0)
 
 
-# --- K11/A11/A12: seeded Monte-Carlo rupture simulation per event
-# (reference ccldpy.py:921-1694 runs 1000 seeded sims per event, then
-# log-mean area stats and median-sim selection; seeding from the DATA —
-# np.random.seed(eqid), ccldpy.py:1038 — keeps results independent of task
-# placement). 100 sims here; numpy RNG → no SQL twin; determinism across
-# partitionings is covered by tests.
+# --- K11/A11/A12: CCLD Monte-Carlo rupture simulation (reference
+# ccldpy.py:921-1694): the 7 published magnitude-scaling relations under
+# simulation methods A-E, hypocenter placement via the Chiou & Youngs
+# (2008) position CDFs, rupture corners in a local XY frame → lat/lon.
+# Re-derived with COUNTER-BASED md5 draws + the Acklam inverse-normal CDF
+# instead of a sequential per-event Mersenne stream, so every sim row is a
+# pure function of (evid, sim): shuffle-free, placement-independent, and
+# expressible identically in Spark SQL and DuckDB — the full Monte Carlo
+# is value-hash oracle-checked, not rows-only (kernels/ccld_sql.py).
 
-_K11_SCHEMA = (
-    "evid bigint, n_sims int, area_log_mean double, area_gmean double, "
-    "area_median_sim double, depth_min double, depth_max double"
+from nzgmdb_spark.kernels.ccld_sql import (
+    ccld_simulations_sql,
+    ccld_stats_sql,
 )
 
 
-@register("k11_ccld_monte_carlo", sql=None, survey=["K11", "A11", "A12"])
-def k11_ccld_monte_carlo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        tbl(spark, sf_dir, "events")
-        .filter(F.col("event_id") < 200)
-        .select("event_id", F.expr(_MAG).alias("mag"))
-    )
+def _ccld_sims_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("ccld_events_src")
+    return spark.sql(ccld_simulations_sql("spark", source="ccld_events_src"))
 
-    def simulate(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        evid = int(key[0])
-        mag = float(pdf["mag"].iloc[0])
-        rng = np.random.default_rng(evid)  # seed from data, never task id
-        log_areas = (mag - 4.0) + 0.25 * rng.standard_normal(100)
-        areas = 10.0**log_areas
-        depths = 5.0 + 10.0 * rng.random(100)
-        order = np.argsort(areas, kind="stable")
-        median_sim = areas[order[len(order) // 2]]
+
+@register(
+    "k11_ccld_simulations",
+    sql=ccld_simulations_sql("duckdb"),
+    survey=["K11"],
+)
+def k11_ccld_simulations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ccld_sims_df(spark, sf_dir)
+
+
+@register(
+    "k11_ccld_monte_carlo",
+    sql=ccld_stats_sql("duckdb"),
+    survey=["K11", "A11", "A12"],
+)
+def k11_ccld_monte_carlo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A11/A12 statistics over the exploded sims (reference
+    # ccldpy.py:1599-1612): geometric mean/std of area, aspect ratio,
+    # length, width + depth extremes, per event.
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("ccld_events_src")
+    return spark.sql(ccld_stats_sql("spark", source="ccld_events_src"))
+
+
+_K11_SEL_SCHEMA = (
+    "evid bigint, median_sim int, sel_model string, sel_method string, "
+    "sel_area double, sel_aspect_ratio double, sel_length double, "
+    "sel_width double, sel_top_depth double, sel_bottom_depth double, "
+    "sel_ssd double"
+)
+
+
+@register("k11_ccld_selected", sql=None, survey=["K11", "A12"])
+def k11_ccld_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-rupture selection (reference ccldpy.py:1391-1434): score sims
+    against the fixed polar pseudo-station grid and keep the one minimizing
+    the sum of squared deviations from the per-site median Rrup. The
+    point-triangle geometry kernel is not SQL-expressible → rows-only, with
+    the geometry pinned by tests/test_kernels_catalog.py."""
+    from nzgmdb_spark.kernels.ccld_select import select_median_rupture
+
+    sims = _ccld_sims_df(spark, sf_dir)
+
+    def pick(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sim").reset_index(drop=True)
+        idx, ssd = select_median_rupture(
+            pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
+            pdf["x2"].to_numpy(), pdf["y2"].to_numpy(),
+            pdf["x3"].to_numpy(), pdf["y3"].to_numpy(),
+            pdf["x4"].to_numpy(), pdf["y4"].to_numpy(),
+            pdf["top_depth"].to_numpy(), pdf["bottom_depth"].to_numpy(),
+        )
+        row = pdf.iloc[idx]
         return pd.DataFrame(
             [
                 {
-                    "evid": evid,
-                    "n_sims": 100,
-                    "area_log_mean": float(np.mean(log_areas)),
-                    "area_gmean": float(10.0 ** np.mean(log_areas)),
-                    "area_median_sim": float(median_sim),
-                    "depth_min": float(depths.min()),
-                    "depth_max": float(depths.max()),
+                    "evid": int(key[0]),
+                    "median_sim": int(row["sim"]),
+                    "sel_model": row["model"],
+                    "sel_method": row["method"],
+                    "sel_area": float(row["area"]),
+                    "sel_aspect_ratio": float(row["aspect_ratio"]),
+                    "sel_length": float(row["length"]),
+                    "sel_width": float(row["width"]),
+                    "sel_top_depth": float(row["top_depth"]),
+                    "sel_bottom_depth": float(row["bottom_depth"]),
+                    "sel_ssd": float(np.floor(ssd[idx] * 1e6 + 0.5) / 1e6),
                 }
             ]
         )
 
-    return ev.groupBy("event_id").applyInPandas(simulate, schema=_K11_SCHEMA)
+    return sims.groupBy("evid").applyInPandas(pick, schema=_K11_SEL_SCHEMA)
 
 
 # --- K1-K6: the waveform signal chain over deterministic synthetic

@@ -28,13 +28,104 @@ def test_k11_deterministic_across_partitionings(spark):
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
 
 
-def test_k11_gmean_matches_log_mean(spark):
-    df = _run(spark, "k11_ccld_monte_carlo").toPandas()
+@pytest.fixture(scope="module")
+def k11_sims(spark):
+    return _run(spark, "k11_ccld_simulations").toPandas()
+
+
+def test_k11_method_invariants(k11_sims):
+    # Golden structural checks per simulation method (reference
+    # ccldpy.py:1043-1098): what each method holds fixed vs randomizes.
+    df = k11_sims
+    assert set(df["method"]) == {"A", "B", "C", "D", "E"}
+    for _, g in df.groupby("evid"):
+        m = g["method"].iloc[0]
+        if m in ("A", "B"):
+            # single preferred nodal plane: constant strike/dip/rake
+            assert g["strike"].nunique() == 1
+            assert g["dip"].nunique() == 1
+            assert g["rake"].nunique() == 1
+        elif m == "C":
+            # coin-flip between the two nodal planes
+            assert g["strike"].nunique() <= 2
+            assert g["rake"].nunique() <= 2
+        elif m == "D":
+            # strike randomized +-30 deg (mod 360), dip clamped [10, 90],
+            # rake fixed
+            assert g["rake"].nunique() == 1
+            assert g["dip"].between(10.0, 90.0).all()
+            spread = g["strike"].max() - g["strike"].min()
+            assert spread <= 60.0 + 1e-6 or spread >= 300.0  # wraparound
+        else:  # E
+            # mechanism-derived rake/dip: only the three canonical pairs
+            assert set(g["rake"]) <= {0.0, -90.0, 90.0}
+            assert set(np.round(g["dip"], 3)) <= {90.0, 55.0, 40.0}
+
+
+def test_k11_relation_allocation(k11_sims):
+    # check_input_arguments rules (ccldpy.py:792-919): which relations are
+    # legal for which tectonic type
+    df = k11_sims
+    by_type = df.groupby("eq_type")["model"].unique().to_dict()
+    assert "ContrerasEtAl2022" not in by_type.get("crustal", [])
+    assert set(by_type.get("stable", [])) <= {"Leonard2014"}
+    assert set(by_type.get("intraslab", [])) <= {"ContrerasEtAl2022"}
+    assert set(by_type.get("interface", [])) <= {
+        "ThingbaijamEtAl2017", "ContrerasEtAl2022"
+    }
+
+
+def test_k11_geometry_invariants(k11_sims):
+    df = k11_sims
+    # L/W consistency with the aspect ratio (within 6dp rounding noise)
     np.testing.assert_allclose(
-        df["area_gmean"], 10.0 ** df["area_log_mean"], rtol=1e-12
+        df["length"] / df["width"], df["aspect_ratio"], rtol=1e-3
     )
-    assert (df["depth_min"] >= 5.0).all()
-    assert (df["depth_max"] <= 15.0).all()
+    # planes stay in the ground
+    assert (df["top_depth"] >= 0.0).all()
+    assert (df["bottom_depth"] >= df["top_depth"]).all()
+    # positions are relative [0, ~1] (down-dip may exceed 1 only via the
+    # hypocenter-in-ground slide)
+    assert df["along_strike"].between(0.0, 1.0).all()
+    assert (df["down_dip"] >= 0.0).all()
+
+
+def test_k11_selected_matches_kernel(spark, k11_sims):
+    # the registered selection query must agree with a direct numpy rerun
+    # of the grid-minimization kernel on the same sims
+    from nzgmdb_spark.kernels.ccld_select import select_median_rupture
+
+    sel = _run(spark, "k11_ccld_selected").toPandas().set_index("evid")
+    for evid, g in list(k11_sims.groupby("evid"))[:12]:
+        g = g.sort_values("sim").reset_index(drop=True)
+        idx, ssd = select_median_rupture(
+            g["x1"].to_numpy(), g["y1"].to_numpy(),
+            g["x2"].to_numpy(), g["y2"].to_numpy(),
+            g["x3"].to_numpy(), g["y3"].to_numpy(),
+            g["x4"].to_numpy(), g["y4"].to_numpy(),
+            g["top_depth"].to_numpy(), g["bottom_depth"].to_numpy(),
+        )
+        assert sel.loc[evid, "median_sim"] == g.loc[idx, "sim"]
+
+
+def test_point_triangle_distance_golden():
+    # hand-checkable vectors for the geometry kernel
+    from nzgmdb_spark.kernels.ccld_select import point_triangle_distance
+
+    tri = np.array([[[0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.0, 2.0, 0.0]]])
+    pts = np.array(
+        [
+            [0.5, 0.5, 1.0],   # above interior → plane distance 1
+            [3.0, 0.0, 0.0],   # beyond vertex (2,0,0) → 1
+            [1.0, 1.0, 0.0],   # on hypotenuse → 0
+            [2.0, 2.0, 0.0],   # off hypotenuse, closest (1,1,0) → sqrt(2)
+            [-1.0, -1.0, 0.0], # beyond origin corner → sqrt(2)
+        ]
+    )
+    d = point_triangle_distance(tri, pts)[0]
+    np.testing.assert_allclose(
+        d, [1.0, 1.0, 0.0, np.sqrt(2.0), np.sqrt(2.0)], atol=1e-12
+    )
 
 
 def test_w5_decluster_flags_consistent(spark):
