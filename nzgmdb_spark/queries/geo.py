@@ -162,3 +162,138 @@ def j14_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "sta", pround("dist_km", 3).alias("dist_km_r")
     )
+
+
+# --- K16: full NGA-SUB (2020) tectonic classification (reference
+# tect_domain.py:99-274 ngasub2020_tectclass + create_regions). Two slab
+# grids ("hik_kerm" with seismogenic zone 10-47 km, "puy" with 11-30 km,
+# the Hayes 2018 limits the reference uses) are split by depth into
+# region A (offshore, above d_s), B (seismogenic), C (downdip, below
+# d_d). An event within h_thresh = 10 km horizontal of a region's
+# nearest grid point gets that region's depth rule, later regions/faults
+# overriding earlier ones exactly like the reference's A → C → B loop
+# (so precedence is B_puy > B_hik > C_puy > C_hik > A_puy > A_hik);
+# events matching nothing get the farfield depth rule.
+#
+# Plan shape (the 100 TB shape): the slab grids are BROADCAST inline
+# relations; the nearest-point-per-(event, region, fault) lookup is a
+# single groupBy(event) with six conditional lexicographic struct-MINs
+# over (distance, gid, slab_depth) — map-side combinable, no window over
+# the cross product, no shuffle of the grid. The depth decision tree is
+# pure CASE logic on the six decoded minima. Distances are rounded to
+# 3 dp before comparison so JVM-vs-DuckDB libm last-ulp differences
+# cannot flip the argmin or the threshold test.
+
+_SLAB_FAULTS = {
+    # fault -> (d_s, d_d, lat0, lat1, dlat, lon0, lon1, dlon, dep_fn)
+    "hik": (10.0, 47.0, -40.0, -38.0, 0.1, 176.0, 178.5, 0.25),
+    "puy": (11.0, 30.0, -46.5, -45.0, 0.1, 166.0, 168.0, 0.25),
+}
+
+
+def _slab_grid_rows() -> list[tuple]:
+    rows = []
+    gid = 0
+    for fault, (d_s, d_d, la0, la1, dla, lo0, lo1, dlo) in _SLAB_FAULTS.items():
+        la = la0
+        while la <= la1 + 1e-9:
+            lo = lo0
+            while lo <= lo1 + 1e-9:
+                # slab deepens with longitude: spans all three regions
+                dep = round(3.0 + (lo - lo0) * 18.0, 2)
+                region = "A" if dep < d_s else ("B" if dep <= d_d else "C")
+                rows.append((gid, fault, region, round(la, 2), round(lo, 2), dep))
+                gid += 1
+                lo += dlo
+            la += dla
+    return rows
+
+
+_SLAB_ROWS = _slab_grid_rows()
+_SLAB_VALUES = ", ".join(
+    f"({gid}, '{f}', '{r}', {la}, {lo}, {dep})"
+    for gid, f, r, la, lo, dep in _SLAB_ROWS
+)
+
+_K16_DEPTH = "CAST(2.0 AS DOUBLE) + CAST(event_id % 97 AS DOUBLE) * CAST(1.1 AS DOUBLE)"
+
+_K16_COMBOS = [  # priority order: later reference loop iterations first
+    ("B", "puy"), ("B", "hik"), ("C", "puy"), ("C", "hik"),
+    ("A", "puy"), ("A", "hik"),
+]
+
+
+def _k16_sql(dialect: str, source: str = "events") -> str:
+    if dialect == "spark":
+        mk_struct = "named_struct('d', dist_r, 'gid', gid, 'dep', gdep)"
+    else:
+        mk_struct = "{'d': dist_r, 'gid': gid, 'dep': gdep}"
+    aggs = ", ".join(
+        f"min(CASE WHEN region = '{r}' AND fault = '{f}' THEN {mk_struct} END) AS m_{r}_{f}"
+        for r, f in _K16_COMBOS
+    )
+
+    def rule(r: str, f: str) -> str:
+        d = f"(m_{r}_{f}).d"
+        slab = f"(m_{r}_{f}).dep"
+        if r == "A":
+            cls = "CASE WHEN depth <= 60.0 THEN 'Outer-rise' ELSE 'Slab' END"
+        elif r == "B":
+            cls = (
+                f"CASE WHEN depth <= {slab} - 10.0 AND depth <= 20.0 THEN 'Crustal' "
+                f"WHEN depth <= 60.0 AND depth <= {slab} + 10.0 THEN 'Interface' "
+                "ELSE 'Slab' END"
+            )
+        else:
+            cls = (
+                f"CASE WHEN depth <= 30.0 THEN 'Crustal' "
+                f"WHEN depth >= {slab} - 10.0 THEN 'Slab' "
+                "ELSE 'Undetermined' END"
+            )
+        return f"WHEN {d} < 10.0 THEN ({cls})"
+
+    class_case = (
+        "CASE "
+        + " ".join(rule(r, f) for r, f in _K16_COMBOS)
+        + " ELSE (CASE WHEN depth <= 30.0 THEN 'Crustal'"
+        "   WHEN depth > 60.0 THEN 'Slab' ELSE 'Undetermined' END) END"
+    )
+    fault_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN (m_{r}_{f}).d < 10.0 THEN '{f}'" for r, f in _K16_COMBOS
+        )
+        + " ELSE NULL END"
+    )
+    return f"""
+WITH pts AS (
+    SELECT event_id, {_LAT} AS lat, {_LON} AS lon, {_K16_DEPTH} AS depth
+    FROM {source}
+),
+grid(gid, fault, region, glat, glon, gdep) AS (VALUES {_SLAB_VALUES}),
+scored AS (
+    SELECT p.event_id, p.depth, g.gid, g.fault, g.region,
+           CAST(g.gdep AS DOUBLE) AS gdep,
+           floor(2.0 * 6371.0088 * ASIN(SQRT(
+               POW(SIN(RADIANS(CAST(g.glat AS DOUBLE) - p.lat) / 2), 2)
+               + COS(RADIANS(p.lat)) * COS(RADIANS(CAST(g.glat AS DOUBLE)))
+                 * POW(SIN(RADIANS(CAST(g.glon AS DOUBLE) - p.lon) / 2), 2)
+           )) * 1000.0 + 0.5) / 1000.0 AS dist_r
+    FROM pts p CROSS JOIN grid g
+),
+nearest AS (
+    SELECT event_id, depth, {aggs}
+    FROM scored
+    GROUP BY event_id, depth
+)
+SELECT event_id, depth,
+       ({class_case}) AS tect_class,
+       ({fault_case}) AS fault_label
+FROM nearest
+"""
+
+
+@register("k16_ngasub_tectclass", sql=_k16_sql("duckdb"), survey=["K16", "J15"])
+def k16_ngasub_tectclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("k16_events_src")
+    return spark.sql(_k16_sql("spark", source="k16_events_src"))
