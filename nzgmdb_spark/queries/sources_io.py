@@ -290,3 +290,75 @@ def s_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("rev").cast("double").alias("total_revenue"),
     )
+
+
+# --- S9 real-codec path: stage REAL MiniSEED files (Steim2-compressed
+# int32 series, one per event, written by the first-principles SEED 2.4
+# encoder) and decode them through the registered binaryFile →
+# mapInPandas plumbing with the REAL decoder. The sample series is
+# deterministic integer arithmetic on (event_id, k), so DuckDB can
+# recompute the decoded array's length, endpoints, and checksum in closed
+# form — the real decode path is value-hash-checked, not rows-only:
+#   d_k    = (event_id * 31 + k * 7) % 201 - 100        (k = 0..n-1)
+#   x_i    = sum_{k<=i} d_k                              (Steim2 diffs)
+#   last   = sum_k d_k,  checksum = sum_i x_i = sum_k (n - k) * d_k
+
+S9M_SQL = """
+WITH ev AS (
+  SELECT event_id, 400 + CAST(event_id % 50 AS INT) AS n
+  FROM events WHERE event_id < 64
+),
+terms AS (
+  SELECT event_id, n, g.k,
+         CAST((event_id * 31 + g.k * 7) % 201 - 100 AS BIGINT) AS d
+  FROM ev, UNNEST(generate_series(0, n - 1)) AS g(k)
+)
+SELECT CAST(event_id AS VARCHAR) AS record_id,
+       CAST(max(n) AS INT) AS n_samples,
+       CAST(0.01 AS DOUBLE) AS dt,
+       CAST(sum(CASE WHEN k = 0 THEN d END) AS BIGINT) AS first_sample,
+       CAST(sum(d) AS BIGINT) AS last_sample,
+       CAST(sum((n - k) * d) AS BIGINT) AS checksum
+FROM terms
+GROUP BY event_id
+"""
+
+
+@register("s9_mseed_real_decode", sql=S9M_SQL, survey=["S9", "F11"])
+def s9_mseed_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.sources.mseed_codec import ENC_STEIM2, encode_records
+    from nzgmdb_spark.sources.waveforms import mseed_decoder
+
+    stage = _stage_dir(sf_dir, "mseed_real")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        import numpy as np
+
+        os.makedirs(stage, exist_ok=True)
+        for evid in range(64):
+            n = 400 + evid % 50
+            k = np.arange(n, dtype=np.int64)
+            d = (evid * 31 + k * 7) % 201 - 100
+            samples = np.cumsum(d).astype(np.int32)
+            blob = encode_records(
+                samples, channel="HNZ", encoding=ENC_STEIM2,
+                starttime=1700000000.0, rate=100.0,
+            )
+            with open(os.path.join(stage, f"{evid}.mseed"), "wb") as f:
+                f.write(blob)
+        with open(marker, "w") as f:
+            f.write("")
+    blobs = read_waveform_blobs(spark, stage, pattern="*.mseed")
+    decoded = decode_waveform_blobs(blobs, decoder=mseed_decoder)
+    acc = F.col("acc_ver")
+    to_long = lambda col: col.cast("bigint")  # noqa: E731
+    return decoded.select(
+        "record_id",
+        "n_samples",
+        "dt",
+        to_long(F.element_at(acc, 1)).alias("first_sample"),
+        to_long(F.element_at(acc, -1)).alias("last_sample"),
+        to_long(
+            F.aggregate(acc, F.lit(0.0), lambda a, x: a + x)
+        ).alias("checksum"),
+    )
