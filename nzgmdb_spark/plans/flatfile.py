@@ -221,3 +221,129 @@ def split_components(flat: DataFrame) -> dict[str, DataFrame]:
             df = df.drop(*drop)
         out[comp] = df
     return out
+
+
+# --- Wide flatfile export (reference merge_flatfiles.py:516-607): the
+# engine's internal IM layout is ARRAY columns (SURVEY §1.5 — one psa
+# array of 111 ordinates, one fas array of 389), which is the right shape
+# for Spark: filters, kernels, and shuffles move one column, not 500.
+# CSV-flatfile compatibility needs the reference's wide families
+# (pSA_0.01 … pSA_20.0, FAS_0.0131826 … FAS_100.0) appended after the
+# scalar metadata block in the reference's column order. The widening is
+# a pure PROJECTION (element_at per ordinate — map-side, zero shuffle,
+# one flat codegen stage), applied on demand at export; `narrow_im_arrays`
+# is its exact inverse for round-tripping external wide CSVs back into
+# the array layout.
+
+# The 111 pSA periods and the 389-point log-spaced FAS frequency grid
+# (0.01318257 → 100 Hz) the reference emits (data/config.yaml
+# psa_periods / common_frequency_*).
+PSA_PERIODS: tuple[float, ...] = (
+    0.010, 0.020, 0.022, 0.025, 0.029, 0.030, 0.032, 0.035, 0.036, 0.040,
+    0.042, 0.044, 0.045, 0.046, 0.048, 0.050, 0.055, 0.060, 0.065, 0.067,
+    0.070, 0.075, 0.080, 0.085, 0.090, 0.095, 0.100, 0.110, 0.120, 0.130,
+    0.133, 0.140, 0.150, 0.160, 0.170, 0.180, 0.190, 0.200, 0.220, 0.240,
+    0.250, 0.260, 0.280, 0.290, 0.300, 0.320, 0.340, 0.350, 0.360, 0.380,
+    0.400, 0.420, 0.440, 0.450, 0.460, 0.480, 0.500, 0.550, 0.600, 0.650,
+    0.667, 0.700, 0.750, 0.800, 0.850, 0.900, 0.950, 1.000, 1.100, 1.200,
+    1.300, 1.400, 1.500, 1.600, 1.700, 1.800, 1.900, 2.000, 2.200, 2.400,
+    2.500, 2.600, 2.800, 3.000, 3.200, 3.400, 3.500, 3.600, 3.800, 4.000,
+    4.200, 4.400, 4.600, 4.800, 5.000, 5.500, 6.000, 6.500, 7.000, 7.500,
+    8.000, 8.500, 9.000, 9.500, 10.000, 11.000, 12.000, 13.000, 14.000,
+    15.000, 20.000,
+)
+
+
+def _fas_freqs() -> tuple[float, ...]:
+    import numpy as np
+
+    return tuple(
+        float(f) for f in np.logspace(np.log10(0.01318257), np.log10(100.0), 389)
+    )
+
+
+FAS_FREQS: tuple[float, ...] = _fas_freqs()
+
+
+def psa_col(p: float) -> str:
+    return f"pSA_{p:g}"
+
+
+def fas_col(f: float) -> str:
+    return f"FAS_{f:.7g}"
+
+
+PSA_COLS = tuple(psa_col(p) for p in PSA_PERIODS)
+FAS_COLS = tuple(fas_col(f) for f in FAS_FREQS)
+
+# Reference metadata column order (merge_flatfiles.py:522-600); columns
+# absent from a given flat table are skipped, extras keep their position
+# after the known block.
+META_ORDER = (
+    "record_id", "datetime", "evid", "sta", "loc", "chan", "component",
+    "ev_lat", "ev_lon", "ev_depth", "mag", "mag_type", "tect_class",
+    "reloc", "domain_no", "domain_type", "strike", "dip", "rake",
+    "f_length", "f_width", "f_type", "z_tor", "z_bor",
+    "sta_lat", "sta_lon", "sta_elev", "loc_elev", "is_ground_level",
+    "r_epi", "r_hyp", "r_jb", "r_rup", "r_x", "r_y", "r_tvz", "r_xvf",
+    "Vs30", "Vs30_std", "Q_Vs30", "T0", "T0_std", "Q_T0",
+    "Z1.0", "Z1.0_std", "Q_Z1.0", "Z2.5", "Z2.5_std", "Q_Z2.5",
+    "site_domain_no", "PGA", "PGV", "CAV", "CAV5", "AI", "Ds575", "Ds595",
+    "score_X", "fmin_X", "fmax_X", "multi_X",
+    "score_Y", "fmin_Y", "fmax_Y", "multi_Y",
+    "score_Z", "fmin_Z", "fmax_Z", "multi_Z",
+    "fmin_max", "HPF",
+    "aftershock_flag_crjb0", "cluster_flag_crjb0",
+    "aftershock_flag_crjb2", "cluster_flag_crjb2",
+    "aftershock_flag_crjb5", "cluster_flag_crjb5",
+    "aftershock_flag_crjb10", "cluster_flag_crjb10",
+)
+
+
+def widen_im_arrays(
+    df: DataFrame, psa_array: str = "psa", fas_array: str = "fas"
+) -> DataFrame:
+    """Array layout → reference wide layout. Pure projection: element_at
+    per ordinate, no shuffle, no UDF. Missing ordinates (short arrays)
+    surface as NULL, matching a left-joined wide CSV."""
+    cols = [F.col(c) for c in df.columns if c not in (psa_array, fas_array)]
+    if psa_array in df.columns:
+        cols += [
+            F.element_at(psa_array, i + 1).alias(name)
+            for i, name in enumerate(PSA_COLS)
+        ]
+    if fas_array in df.columns:
+        cols += [
+            F.element_at(fas_array, i + 1).alias(name)
+            for i, name in enumerate(FAS_COLS)
+        ]
+    return df.select(*cols)
+
+
+def narrow_im_arrays(df: DataFrame) -> DataFrame:
+    """Exact inverse of widen_im_arrays: wide families → array columns."""
+    # generated names contain dots (pSA_1.1) — backtick-quote every
+    # reference so Spark does not parse them as struct field access
+    keep = [c for c in df.columns if c not in PSA_COLS and c not in FAS_COLS]
+    cols = [F.col(f"`{c}`") for c in keep]
+    if all(c in df.columns for c in PSA_COLS):
+        cols.append(F.array(*[F.col(f"`{c}`") for c in PSA_COLS]).alias("psa"))
+    if all(c in df.columns for c in FAS_COLS):
+        cols.append(F.array(*[F.col(f"`{c}`") for c in FAS_COLS]).alias("fas"))
+    return df.select(*cols)
+
+
+def flatfile_wide(flat: DataFrame, psa_array: str = "psa", fas_array: str = "fas") -> DataFrame:
+    """Per-component export view in the reference's column ordering:
+    known metadata block first (in META_ORDER), any remaining scalar
+    columns next, then the pSA family, then the FAS family
+    (merge_flatfiles.py:513-607)."""
+    wide = widen_im_arrays(flat, psa_array, fas_array)
+    present = set(wide.columns)
+    meta = [c for c in META_ORDER if c in present]
+    claimed = set(meta) | set(PSA_COLS) | set(FAS_COLS)
+    extras = [c for c in wide.columns if c not in claimed]
+    ordered = meta + extras
+    ordered += [c for c in PSA_COLS if c in present]
+    ordered += [c for c in FAS_COLS if c in present]
+    return wide.select(*[F.col(f"`{c}`") for c in ordered])
