@@ -159,14 +159,35 @@ def decluster_catalog(
     return aftershock, cluster
 
 
+def square_corners_col(
+    lat: str = "lat", lon: str = "lon", half_deg: float = 0.15
+):
+    """Rupture-square ``corners`` column (array of 4 [lat, lon] pairs)
+    derived map-side from event coordinates — the DataFrame-native way to
+    feed polygons into the decluster paths without a driver loop."""
+    la, lo = F.col(lat), F.col(lon)
+    h = float(half_deg)
+    return F.array(
+        F.array(la - h, lo - h),
+        F.array(la - h, lo + h),
+        F.array(la + h, lo + h),
+        F.array(la + h, lo - h),
+    )
+
+
 def decluster(
     events_df: DataFrame,
-    corners_by_evid: dict[str, list[tuple[float, float]]],
+    corners_by_evid: dict[str, list[tuple[float, float]]] | None = None,
     crjb_cutoff_km: float = 10.0,
 ) -> DataFrame:
-    """Distributed wrapper: collect the (small) event dimension, run the
-    exact algorithm, join flags back as a broadcast dimension."""
-    rows = events_df.select("evid", "datetime", "mag", "lat", "lon").collect()
+    """Driver-side wrapper: collect the (small) event dimension ONCE —
+    corners included, from the ``corners`` column when no dict is given —
+    run the exact algorithm, join flags back as a broadcast dimension."""
+    cols = ["evid", "datetime", "mag", "lat", "lon"]
+    if corners_by_evid is None:
+        rows = events_df.select(*cols, "corners").collect()
+    else:
+        rows = events_df.select(*cols).collect()
     events = [
         {
             "evid": r.evid,
@@ -174,7 +195,11 @@ def decluster(
             "mag": float(r.mag),
             "lat": float(r.lat),
             "lon": float(r.lon),
-            "corners": corners_by_evid[r.evid],
+            "corners": (
+                [tuple(c) for c in r.corners]
+                if corners_by_evid is None
+                else corners_by_evid[r.evid]
+            ),
         }
         for r in rows
     ]
@@ -194,9 +219,10 @@ def decimal_year_py(ts_epoch_s: float, year: int, year_start_s: float, year_end_
 
 def decluster_distributed(
     events_df: DataFrame,
-    corners_by_evid: dict[str, list[tuple[float, float]]],
+    corners_by_evid: dict[str, list[tuple[float, float]]] | None = None,
     crjb_cutoff_km: float = 10.0,
     max_rounds: int = 64,
+    driver_collect_cap: int = 1_000_000,
 ) -> DataFrame:
     """Distributed declustering, exact-equivalent to the sequential greedy.
 
@@ -237,36 +263,53 @@ def decluster_distributed(
     from pyspark.sql.functions import pandas_udf
 
     spark = events_df.sparkSession
-    # Match the sequential path's behavior on partial polygon inputs: the
-    # sequential wrapper raises KeyError on the first evid missing from
-    # corners_by_evid, while the inner join to the broadcast centers
-    # relation below would silently drop such events as claimers. Validate
-    # up front so both registered W5 paths fail identically.
-    known = spark.createDataFrame(
-        [(k,) for k in corners_by_evid], schema="evid string"
-    )
-    missing = [
-        r.evid
-        for r in events_df.select("evid")
-        .join(F.broadcast(known), "evid", "left_anti")
-        .limit(20)
-        .collect()
-    ]
-    if missing:
-        raise KeyError(
-            f"corners_by_evid missing rupture polygons for evids {sorted(missing)}"
+    # Corners as a RELATION, never a driver loop: a dict argument (legacy
+    # callers, bounded fixtures) is converted once; otherwise the polygons
+    # come from events_df's own `corners` column (array of [lat, lon]
+    # pairs, e.g. square_corners_col) — at 100× catalog scale nothing
+    # serializes through the driver.
+    if corners_by_evid is None:
+        if "corners" not in events_df.columns:
+            raise KeyError(
+                "decluster_distributed needs either a corners_by_evid dict "
+                "or a `corners` column on events_df"
+            )
+        corners_df = events_df.select("evid", "corners")
+    else:
+        corners_df = spark.createDataFrame(
+            [
+                (e, [[float(la), float(lo)] for la, lo in cs])
+                for e, cs in corners_by_evid.items()
+            ],
+            schema="evid string, corners array<array<double>>",
         )
-    corners_bc = spark.sparkContext.broadcast(corners_by_evid)
+        # Match the sequential path's behavior on partial polygon inputs:
+        # the sequential wrapper raises KeyError on the first evid missing
+        # from corners_by_evid, while the inner joins below would silently
+        # drop such events as claimers. Validate up front so both
+        # registered W5 paths fail identically.
+        missing = [
+            r.evid
+            for r in events_df.select("evid")
+            .join(F.broadcast(corners_df.select("evid")), "evid", "left_anti")
+            .limit(20)
+            .collect()
+        ]
+        if missing:
+            raise KeyError(
+                f"corners_by_evid missing rupture polygons for evids {sorted(missing)}"
+            )
 
     # NOTE: annotation-free signature — `from __future__ import annotations`
     # turns hints into strings that pandas_udf's type-hint inference cannot
-    # resolve for function-local imports.
-    def _crjb_batch(evid_k, lat_j, lon_j):
-        corners = corners_bc.value
+    # resolve for function-local imports. Corners arrive as an Arrow ARRAY
+    # column attached to the claimer side of each pair — no broadcast
+    # Python dict; crjb_km's per-polygon boundary cache still applies.
+    def _crjb_batch(corners_k, lat_j, lon_j):
         return pd.Series(
             [
-                crjb_km(lat, lon, corners[e])
-                for e, lat, lon in zip(evid_k, lat_j, lon_j)
+                crjb_km(lat, lon, [tuple(c) for c in cs])
+                for cs, lat, lon in zip(corners_k, lat_j, lon_j)
             ]
         )
 
@@ -310,14 +353,49 @@ def decluster_distributed(
     # haversine kills the bulk of time/mag-qualified pairs (at sf0.01,
     # ~285k → a few thousand) before the exact boundary-distance UDF runs.
     # Conservative bound only — never changes the surviving pair set.
-    centers_rows = []
-    for evid, cs in corners_by_evid.items():
-        clat = sum(c[0] for c in cs) / len(cs)
-        clon = sum(c[1] for c in cs) / len(cs)
-        rad = max(_haversine_km(clat, clon, c[0], c[1]) for c in cs)
-        centers_rows.append((evid, clat, clon, rad))
-    centers = spark.createDataFrame(
-        centers_rows, ["k_evid", "k_clat", "k_clon", "k_rad_km"]
+    # Centroid + circumradius are MAP-SIDE array folds over the corners
+    # column — the center relation is derived distributed, not built by a
+    # driver loop over a dict.
+    nc = F.size("corners").cast("double")
+    clat = (
+        F.aggregate(
+            F.transform("corners", lambda c: c[0]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / nc
+    )
+    clon = (
+        F.aggregate(
+            F.transform("corners", lambda c: c[1]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / nc
+    )
+    hav_corner = lambda c: (  # noqa: E731
+        2.0
+        * EARTH_RADIUS_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(c[0] - F.col("k_clat")) / 2), 2)
+                + F.cos(F.radians("k_clat"))
+                * F.cos(F.radians(c[0]))
+                * F.pow(F.sin(F.radians(c[1] - F.col("k_clon")) / 2), 2)
+            )
+        )
+    )
+    centers = (
+        corners_df.withColumn("k_clat", clat)
+        .withColumn("k_clon", clon)
+        .withColumn("k_rad_km", F.array_max(F.transform("corners", hav_corner)))
+        .select(
+            F.col("evid").alias("k_evid"),
+            F.col("corners").alias("k_corners"),
+            "k_clat",
+            "k_clon",
+            "k_rad_km",
+        )
     )
     hav_bound = (
         2.0
@@ -348,7 +426,7 @@ def decluster_distributed(
         # exists to avoid. localCheckpoint cuts the lineage so the UDF can
         # only run on the few prefilter survivors (~0.2% at sf0.01).
         .localCheckpoint()
-        .filter(crjb_udf("k_evid", "j_lat", "j_lon") <= F.lit(crjb_cutoff_km))
+        .filter(crjb_udf("k_corners", "j_lat", "j_lon") <= F.lit(crjb_cutoff_km))
         .select("k_prio", "k_evid", "j_prio", "j_evid", "k_mag", "j_mag")
         .localCheckpoint()
     )
@@ -412,7 +490,7 @@ def decluster_distributed(
     # earlier-priority claim would have flipped it in Phase A), so no
     # further conditions apply.
     prio_evid = e.select("prio", F.col("evid").alias("p_evid"))
-    late_rows = (
+    late_df = (
         pairs.filter(
             (F.col("k_prio") > F.col("j_prio")) & (F.col("k_mag") == F.col("j_mag"))
         )
@@ -422,8 +500,28 @@ def decluster_distributed(
             "j_prio",
         )
         .select("k_prio", "j_prio")
-        .collect()
+        .localCheckpoint()
     )
+    # The B2 sliver (equal-magnitude both-mainshock pairs) and the claimer
+    # prios are resolved on the driver — a degenerate subset of the
+    # catalog by construction, but cap it LOUDLY so a pathological input
+    # (everything tied in magnitude) fails with a diagnosis instead of
+    # silently materializing catalog-scale data through the driver.
+    n_late = late_df.count()
+    if n_late > driver_collect_cap:
+        raise RuntimeError(
+            f"decluster Phase B2 sliver has {n_late} pairs "
+            f"(> driver_collect_cap={driver_collect_cap}); the catalog's "
+            "equal-magnitude mainshock structure is degenerate — raise the "
+            "cap only if driver memory allows, or pre-jitter magnitudes"
+        )
+    n_claimers = early.count()
+    if n_claimers > driver_collect_cap:
+        raise RuntimeError(
+            f"decluster claimer set has {n_claimers} rows "
+            f"(> driver_collect_cap={driver_collect_cap})"
+        )
+    late_rows = late_df.collect()
     has_claims_prios = {r.claimer_prio for r in early.select("claimer_prio").collect()}
     late_assign: dict[int, int] = {}
     for kp, jp in sorted((r.k_prio, r.j_prio) for r in late_rows):

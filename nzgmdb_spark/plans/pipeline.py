@@ -334,18 +334,14 @@ def run_full_pipeline(
 
     # -- stage 11: declustering (W5/K15)
     def build_decluster() -> DataFrame:
-        ev = tect.select("evid", "datetime", "mag", "lat", "lon").orderBy("evid")
-        rows = ev.select("evid", "lat", "lon").collect()
-        corners = {
-            r.evid: [
-                (r.lat - 0.15, r.lon - 0.15),
-                (r.lat - 0.15, r.lon + 0.15),
-                (r.lat + 0.15, r.lon + 0.15),
-                (r.lat + 0.15, r.lon - 0.15),
-            ]
-            for r in rows
-        }
-        return decluster(ev, corners, crjb_cutoff_km=10.0).select(
+        from nzgmdb_spark.operators.decluster import square_corners_col
+
+        ev = (
+            tect.select("evid", "datetime", "mag", "lat", "lon")
+            .withColumn("corners", square_corners_col())  # no driver loop
+            .orderBy("evid")
+        )
+        return decluster(ev, crjb_cutoff_km=10.0).select(
             "evid", "aftershock_flag", "cluster_flag"
         )
 

@@ -427,7 +427,7 @@ def t2_stream_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("w5_decluster_catalog", sql=None, survey=["W5", "K15"])
 def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.operators.decluster import decluster
+    from nzgmdb_spark.operators.decluster import decluster, square_corners_col
 
     ev = (
         _points(spark, sf_dir)
@@ -443,19 +443,10 @@ def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lat",
             "lon",
         )
+        .withColumn("corners", square_corners_col())  # derived, no driver loop
         .orderBy("evid")  # deterministic catalog order → stable cluster ids
     )
-    rows = ev.select("evid", "lat", "lon").collect()
-    corners = {
-        r.evid: [
-            (r.lat - 0.15, r.lon - 0.15),
-            (r.lat - 0.15, r.lon + 0.15),
-            (r.lat + 0.15, r.lon + 0.15),
-            (r.lat + 0.15, r.lon - 0.15),
-        ]
-        for r in rows
-    }
-    out = decluster(ev, corners, crjb_cutoff_km=10.0)
+    out = decluster(ev, crjb_cutoff_km=10.0)
     return out.select("evid", "mag", "aftershock_flag", "cluster_flag")
 
 
@@ -468,7 +459,10 @@ def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("w5_decluster_distributed", sql=None, survey=["W5", "K15"])
 def w5_decluster_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.operators.decluster import decluster_distributed
+    from nzgmdb_spark.operators.decluster import (
+        decluster_distributed,
+        square_corners_col,
+    )
 
     ev = (
         _points(spark, sf_dir)
@@ -484,18 +478,11 @@ def w5_decluster_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lat",
             "lon",
         )
+        # rupture polygons as a derived COLUMN — the whole path is
+        # driver-free (VERDICT r1 #7)
+        .withColumn("corners", square_corners_col())
     )
-    rows = ev.select("evid", "lat", "lon").collect()
-    corners = {
-        r.evid: [
-            (r.lat - 0.15, r.lon - 0.15),
-            (r.lat - 0.15, r.lon + 0.15),
-            (r.lat + 0.15, r.lon + 0.15),
-            (r.lat + 0.15, r.lon - 0.15),
-        ]
-        for r in rows
-    }
-    return decluster_distributed(ev, corners, crjb_cutoff_km=10.0)
+    return decluster_distributed(ev, crjb_cutoff_km=10.0)
 
 
 # --- K11/A11/A12: CCLD Monte-Carlo rupture simulation (reference
