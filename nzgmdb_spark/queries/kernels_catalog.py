@@ -11,6 +11,7 @@ rows-only check; their numerics are pinned by golden tests instead.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -677,3 +678,81 @@ def pipeline_full_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "evid", "sta", "component", "PGA", "r_rup", "fmin_max",
         "ev_tect_class", "ev_aftershock_flag",
     ).orderBy("record_id")
+
+
+# --- K7 real-artifact model inference: the predict_batch_udf slot serving
+# an actual model FILE (reference filtering.py:15-59 loads a trained
+# ClipNet artifact and scores each record). The artifact here is a real
+# .npz MLP staged from md5-derived weights — the engine's deterministic
+# seeding convention — so the SQL oracle can rebuild the identical network
+# as inline weight tables and the file-backed inference path is
+# value-hash-checked end to end: executor-side lazy artifact load
+# (process cache), Arrow-batched numpy forward pass, zero shuffle.
+
+from nzgmdb_spark.kernels.inference import mlp_weights, write_mlp_artifact
+
+
+def _mlp_values() -> tuple[str, str, str, str]:
+    w = mlp_weights()
+    w1 = ", ".join(
+        f"({i}, {j}, {w['W1'][i, j]!r})"
+        for i in range(w["W1"].shape[0])
+        for j in range(w["W1"].shape[1])
+    )
+    b1 = ", ".join(f"({j}, {w['b1'][j]!r})" for j in range(len(w["b1"])))
+    w2 = ", ".join(f"({j}, {w['W2'][j, 0]!r})" for j in range(w["W2"].shape[0]))
+    return w1, b1, w2, repr(float(w["b2"][0]))
+
+
+_W1_VALUES, _B1_VALUES, _W2_VALUES, _B2_LIT = _mlp_values()
+
+K7M_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, g.i AS dim, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+w1(i, j, w) AS (VALUES {_W1_VALUES}),
+b1(j, b) AS (VALUES {_B1_VALUES}),
+w2(j, w) AS (VALUES {_W2_VALUES}),
+pre AS (
+  SELECT d.vec_id, w1.j, SUM(d.v * CAST(w1.w AS DOUBLE)) AS s
+  FROM dims d JOIN w1 ON w1.i = d.dim
+  GROUP BY d.vec_id, w1.j
+),
+hidden AS (
+  SELECT pre.vec_id, pre.j, GREATEST(pre.s + CAST(b1.b AS DOUBLE), 0.0) AS h
+  FROM pre JOIN b1 ON b1.j = pre.j
+),
+logit AS (
+  SELECT h.vec_id, SUM(h.h * CAST(w2.w AS DOUBLE)) + {_B2_LIT} AS z
+  FROM hidden h JOIN w2 ON w2.j = h.j
+  GROUP BY h.vec_id
+)
+SELECT vec_id,
+       FLOOR(1.0 / (1.0 + EXP(-z)) * 1e6 + 0.5) / 1e6 AS clip_prob,
+       CASE WHEN 1.0 / (1.0 + EXP(-z)) > 0.5 THEN 1 ELSE 0 END AS clipped
+FROM logit
+"""
+
+
+@register("k7_model_inference", sql=K7M_SQL, survey=["K7", "F11"])
+def k7_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+    from nzgmdb_spark.kernels.inference import predict_batch_udf
+    from nzgmdb_spark.queries.sources_io import _stage_dir
+
+    path = os.path.join(_stage_dir(sf_dir, "models"), "clip_mlp.npz")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_mlp_artifact(path)
+    score = predict_batch_udf(path)
+    e = tbl(spark, sf_dir, "embeddings")
+    prob = score("embedding")
+    return (
+        e.select("vec_id", prob.alias("p"))
+        .select(
+            "vec_id",
+            pround(F.col("p"), 6).alias("clip_prob"),
+            F.when(F.col("p") > 0.5, F.lit(1)).otherwise(F.lit(0)).alias("clipped"),
+        )
+    )
