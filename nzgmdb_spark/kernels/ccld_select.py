@@ -97,7 +97,13 @@ def select_median_rupture(
 
     Inputs are per-sim corner arrays (reference corner order: 1=URC top,
     2=ULC top, 3=LRC bottom, 4=LLC bottom; triangles (1,2,3) and (2,4,3),
-    ccldpy.py:1404-1422). Returns (argmin index, per-sim rrup matrix).
+    ccldpy.py:1404-1422). Returns (argmin index, per-sim integer ssd).
+
+    Selection arithmetic is EXACT: rupture distances are rounded to
+    integer METERS, the per-site median is the middle element of the odd
+    sim count, and the sum of squared deviations stays in int64 — so the
+    SQL oracle twin (kernels/ccld_sql.ccld_selected_sql) reproduces the
+    selection bit-for-bit with no float-ordering risk.
     """
     sites = station_grid_xy()
     tri_a = np.stack(
@@ -119,7 +125,11 @@ def select_median_rupture(
     rrups = np.minimum(
         point_triangle_distance(tri_a, sites),
         point_triangle_distance(tri_b, sites),
-    )  # (n_sims, n_sites)
-    med = np.median(rrups, axis=0)  # per site
-    ssd = np.sum((rrups - med[None, :]) ** 2, axis=1)
+    )  # (n_sims, n_sites), km
+    n = rrups.shape[0]
+    if n % 2 == 0:
+        raise ValueError("sim count must be odd for the exact median pick")
+    r_m = np.floor(rrups * 1000.0 + 0.5).astype(np.int64)  # integer meters
+    med = np.sort(r_m, axis=0)[n // 2]  # exact middle element per site
+    ssd = np.sum((r_m - med[None, :]) ** 2, axis=1)  # exact int64
     return int(np.argmin(ssd)), ssd

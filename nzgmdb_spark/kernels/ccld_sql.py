@@ -534,3 +534,127 @@ SELECT evid,
 FROM sims_out
 GROUP BY evid
 """
+
+
+def _sites_values() -> str:
+    """Pseudo-station grid as literal (sid, px, py) VALUES — generated
+    from the SAME numpy call the kernel uses, so site coordinates are
+    bit-identical constants on both engines."""
+    from nzgmdb_spark.kernels.ccld_select import station_grid_xy
+
+    xyz = station_grid_xy()
+    return ", ".join(
+        f"({i}, {xyz[i, 0]!r}, {xyz[i, 1]!r})" for i in range(xyz.shape[0])
+    )
+
+
+def ccld_selected_sql(source: str = "events", n_events: int = 200) -> str:
+    """DuckDB twin of the median-rupture selection kernel
+    (kernels/ccld_select.select_median_rupture): the interior-or-edge-min
+    point-triangle distance written with the kernel's exact formula
+    structure (same IEEE op order), distances rounded to integer meters,
+    the per-site median as the exact middle element, and an integer sum
+    of squared deviations — bit-for-bit the kernel's selection."""
+    sims = ccld_simulations_sql("duckdb", source=source, n_events=n_events)
+
+    def dot(ux, uy, uz, vx, vy, vz):
+        return f"({ux} * {vx} + {uy} * {vy} + {uz} * {vz})"
+
+    def seg_sq(pvx, pvy, pvz, wx, wy, wz):
+        ww = dot(wx, wy, wz, wx, wy, wz)
+        pw = dot(pvx, pvy, pvz, wx, wy, wz)
+        u = f"LEAST(GREATEST({pw} / (CASE WHEN {ww} > 1e-300 THEN {ww} ELSE 1e-300 END), 0.0), 1.0)"
+        return (
+            f"(({pvx} - {u} * {wx}) * ({pvx} - {u} * {wx})"
+            f" + ({pvy} - {u} * {wy}) * ({pvy} - {u} * {wy})"
+            f" + ({pvz} - {u} * {wz}) * ({pvz} - {u} * {wz}))"
+        )
+
+    return f"""
+WITH sims_out AS ({sims}),
+tris AS (
+  SELECT evid, sim, 1 AS tri,
+         x1 AS ax, y1 AS ay, top_depth AS az,
+         x2 AS bx, y2 AS by, top_depth AS bz,
+         x3 AS cx, y3 AS cy, bottom_depth AS cz
+  FROM sims_out
+  UNION ALL
+  SELECT evid, sim, 2,
+         x2, y2, top_depth,
+         x4, y4, bottom_depth,
+         x3, y3, bottom_depth
+  FROM sims_out
+),
+sites(sid, px, py) AS (VALUES {_sites_values()}),
+geom AS (
+  SELECT t.evid, t.sim, t.tri, s.sid,
+         bx - ax AS e0x, by - ay AS e0y, bz - az AS e0z,
+         cx - ax AS e1x, cy - ay AS e1y, cz - az AS e1z,
+         px - ax AS pvx, py - ay AS pvy, 0.0 - az AS pvz,
+         px - bx AS qvx, py - by AS qvy, 0.0 - bz AS qvz
+  FROM tris t CROSS JOIN sites s
+),
+coef AS (
+  SELECT *,
+         {dot("e0x", "e0y", "e0z", "e0x", "e0y", "e0z")} AS a,
+         {dot("e0x", "e0y", "e0z", "e1x", "e1y", "e1z")} AS b,
+         {dot("e1x", "e1y", "e1z", "e1x", "e1y", "e1z")} AS c,
+         {dot("e0x", "e0y", "e0z", "pvx", "pvy", "pvz")} AS d,
+         {dot("e1x", "e1y", "e1z", "pvx", "pvy", "pvz")} AS e
+  FROM geom
+),
+st AS (
+  SELECT *, a * c - b * b AS det,
+         (c * d - b * e) / (CASE WHEN a * c - b * b > 1e-300 THEN a * c - b * b ELSE 1e-300 END) AS s,
+         (a * e - b * d) / (CASE WHEN a * c - b * b > 1e-300 THEN a * c - b * b ELSE 1e-300 END) AS t
+  FROM coef
+),
+dist AS (
+  SELECT evid, sim, sid,
+         SQRT(GREATEST(CASE
+           WHEN s >= 0.0 AND t >= 0.0 AND s + t <= 1.0 AND det > 1e-12 THEN
+             (pvx - (s * e0x + t * e1x)) * (pvx - (s * e0x + t * e1x))
+             + (pvy - (s * e0y + t * e1y)) * (pvy - (s * e0y + t * e1y))
+             + (pvz - (s * e0z + t * e1z)) * (pvz - (s * e0z + t * e1z))
+           ELSE LEAST(
+             {seg_sq("pvx", "pvy", "pvz", "e0x", "e0y", "e0z")},
+             {seg_sq("pvx", "pvy", "pvz", "e1x", "e1y", "e1z")},
+             {seg_sq("qvx", "qvy", "qvz", "(e1x - e0x)", "(e1y - e0y)", "(e1z - e0z)")}
+           )
+         END, 0.0)) AS dist_km
+  FROM st
+),
+rrup AS (
+  SELECT evid, sim, sid,
+         CAST(floor(MIN(dist_km) * 1000.0 + 0.5) AS BIGINT) AS r_m
+  FROM dist GROUP BY evid, sim, sid
+),
+med AS (
+  SELECT evid, sid, r_m AS med_m
+  FROM (
+    SELECT evid, sid, r_m,
+           row_number() OVER (PARTITION BY evid, sid ORDER BY r_m, sim) AS rn
+    FROM rrup
+  ) WHERE rn = {N_SIMS // 2 + 1}
+),
+ssd AS (
+  SELECT r.evid, r.sim,
+         SUM((r.r_m - m.med_m) * (r.r_m - m.med_m)) AS ssd_m2
+  FROM rrup r JOIN med m ON m.evid = r.evid AND m.sid = r.sid
+  GROUP BY r.evid, r.sim
+),
+pick AS (
+  SELECT evid, sim, ssd_m2,
+         row_number() OVER (PARTITION BY evid ORDER BY ssd_m2, sim) AS rn
+  FROM ssd
+)
+SELECT s.evid, CAST(p.sim AS INT) AS median_sim,
+       s.model AS sel_model, s.method AS sel_method,
+       s.area AS sel_area, s.aspect_ratio AS sel_aspect_ratio,
+       s.length AS sel_length, s.width AS sel_width,
+       s.top_depth AS sel_top_depth, s.bottom_depth AS sel_bottom_depth,
+       CAST(p.ssd_m2 AS BIGINT) AS sel_ssd_m2
+FROM pick p
+JOIN sims_out s ON s.evid = p.evid AND s.sim = p.sim
+WHERE p.rn = 1
+"""

@@ -102,16 +102,76 @@ def m3_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_sample_frames(_media(spark, sf_dir), stride=4)
 
 
-# NN-embedding stub: byte-histogram features. Deterministic but not worth
-# a SQL twin — rows-only; dims and normalization pinned in tests.
+# NN-embedding stub: byte-histogram features over the full blob. The
+# synthetic containers are pure doc_id arithmetic (encode_fake_*:
+# magic + struct header + constant-fill / sawtooth payloads), so the
+# oracle rebuilds the byte multiset as header-byte rows + fill RUNS +
+# a generate_series sawtooth, bins by v // 16, and divides by the blob
+# length — count/len is one IEEE division on both engines, so the
+# exploded feature values hash EXACTLY (VERDICT r1 #5: no rows-only
+# entry that can be value-checked).
+
+M4_SQL = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+img AS (
+  SELECT media_id, 'image' AS kind,
+         16 + media_id % 48 AS w, 16 + (media_id * 7) % 48 AS h
+  FROM ids
+),
+aud AS (
+  SELECT media_id, 'audio' AS kind,
+         CASE WHEN media_id % 2 = 0 THEN 8000 ELSE 16000 END AS sr,
+         64 + (media_id * 13) % 192 AS n
+  FROM ids
+),
+vid AS (SELECT media_id, 'video' AS kind, 8 + media_id % 24 AS nf FROM ids),
+byte_rel AS (
+  -- image: IMG0 + >HH dims (hi bytes 0: w,h < 256) + w*h fill bytes
+  SELECT media_id, kind, t.v AS v, 1 AS cnt
+  FROM img, UNNEST([73, 77, 71, 48, 0, w % 256, 0, h % 256]) AS t(v)
+  UNION ALL
+  SELECT media_id, kind, media_id % 256, w * h FROM img
+  -- audio: AUD0 + >II sr/n (sr 8000=0x1F40, 16000=0x3E80; n < 256)
+  UNION ALL
+  SELECT media_id, kind, t.v, 1
+  FROM aud, UNNEST([65, 85, 68, 48, 0, 0,
+                    CASE WHEN sr = 8000 THEN 31 ELSE 62 END,
+                    CASE WHEN sr = 8000 THEN 64 ELSE 128 END,
+                    0, 0, 0, n % 256]) AS t(v)
+  UNION ALL
+  SELECT media_id, kind, (g.i * 3 + media_id) % 256, 1
+  FROM aud, UNNEST(generate_series(0, n - 1)) AS g(i)
+  -- video: VID0 + >HBB (nf < 256) + nf frames of 64 constant bytes
+  UNION ALL
+  SELECT media_id, kind, t.v, 1
+  FROM vid, UNNEST([86, 73, 68, 48, 0, nf % 256, 8, 8]) AS t(v)
+  UNION ALL
+  SELECT media_id, kind, (media_id + g.f) % 256, 64
+  FROM vid, UNNEST(generate_series(0, nf - 1)) AS g(f)
+),
+totals AS (
+  SELECT media_id, kind, SUM(cnt) AS total FROM byte_rel GROUP BY 1, 2
+),
+hist AS (
+  SELECT media_id, kind, v // 16 AS bin, SUM(cnt) AS c
+  FROM byte_rel GROUP BY 1, 2, 3
+),
+bins AS (
+  SELECT media_id, kind, g.b AS bin
+  FROM (SELECT media_id, kind FROM byte_rel GROUP BY 1, 2),
+       UNNEST(generate_series(0, 15)) AS g(b)
+)
+SELECT b.media_id, b.kind, CAST(b.bin AS INT) AS bin,
+       CAST(COALESCE(h.c, 0) AS DOUBLE) / t.total AS val
+FROM bins b
+LEFT JOIN hist h ON h.media_id = b.media_id AND h.kind = b.kind AND h.bin = b.bin
+JOIN totals t ON t.media_id = b.media_id AND t.kind = b.kind
+"""
 
 
-@register("m4_media_feature_extract", sql=None, survey=["F11"])
+@register("m4_media_feature_extract", sql=M4_SQL, survey=["F11"])
 def m4_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = media_features(_media(spark, sf_dir), dim=16)
     return feats.select(
-        "media_id",
-        "kind",
-        F.size("feature").alias("dim"),
-        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x).alias("mass"),
+        "media_id", "kind", F.posexplode("feature").alias("bin", "val")
     )
