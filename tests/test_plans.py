@@ -244,3 +244,30 @@ def test_lag_lead_single_window_pass(spark):
     plan = plan_of(spark, "w_lag_lead_delta")
     assert plan.count("Window") == 1
     assert n_shuffles(plan) == 2
+
+
+def test_round2_new_query_plan_shapes(spark):
+    # Round-2 additions keep their scale shapes: the CCLD sim explosion is
+    # pure map-side (counter-based draws — no shuffle at any scale), the
+    # real-decoder and model-inference paths are shuffle-free Arrow
+    # stages, and the cosine near-dup never regresses to a nested-loop
+    # pair join.
+    plan = plan_of(spark, "k11_ccld_simulations")
+    assert n_shuffles(plan) == 0, "CCLD sims gained a shuffle"
+
+    plan = plan_of(spark, "s9_mseed_real_decode")
+    assert n_shuffles(plan) == 0, "mseed decode gained a shuffle"
+
+    plan = plan_of(spark, "k7_model_inference")
+    assert n_shuffles(plan) == 0, "model inference gained a shuffle"
+
+    plan = plan_of(spark, "dedup_cosine_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "cosine near-dup regressed to all-pairs"
+    )
+
+    # K16: the slab grid must stay a broadcast fan-out + one aggregation —
+    # no window over the event×grid cross product
+    plan = plan_of(spark, "k16_ngasub_tectclass")
+    assert n_shuffles(plan) <= 1, "K16 gained shuffles"
+    assert "Window" not in plan, "K16 nearest-point via window, not struct-min"
