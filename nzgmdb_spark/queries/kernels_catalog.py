@@ -759,3 +759,134 @@ def k7_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("p") > 0.5, F.lit(1)).otherwise(F.lit(0)).alias("clipped"),
         )
     )
+
+
+# --- K8 real-artifact pick chain: REAL MiniSEED decode → sliding windows
+# → REAL .npz model inference → per-record argmax pick, value-hash-checked
+# end to end (reference run_phasenet.py:48-106: window the waveform, run
+# the NN, argmax the probability series). The waveform samples are
+# closed-form integers (s9_mseed_real_decode staging), the model weights
+# are md5-derived, and windows are map-side array slices — so the oracle
+# rebuilds sample cumsums with a SQL window function, scores each slice
+# through inline weight tables, and reproduces the pick exactly. The only
+# cross-engine float risk is matmul-vs-SQL sum order (~1e-14), absorbed
+# by 6 dp rounding and argmax gaps.
+
+_K8R_WIN = 32
+_K8R_STRIDE = 16
+_K8R_NWIN = 20  # windows 0..19 cover samples 0..335 (min n = 400)
+
+
+def _k8r_mlp_values() -> tuple[str, str, str, str]:
+    w = mlp_weights(d_in=_K8R_WIN)
+    w1 = ", ".join(
+        f"({i}, {j}, {w['W1'][i, j]!r})"
+        for i in range(w["W1"].shape[0])
+        for j in range(w["W1"].shape[1])
+    )
+    b1 = ", ".join(f"({j}, {w['b1'][j]!r})" for j in range(len(w["b1"])))
+    w2 = ", ".join(f"({j}, {w['W2'][j, 0]!r})" for j in range(w["W2"].shape[0]))
+    return w1, b1, w2, repr(float(w["b2"][0]))
+
+
+_K8R_W1, _K8R_B1, _K8R_W2, _K8R_B2 = _k8r_mlp_values()
+
+K8R_SQL = f"""
+WITH ev AS (
+  SELECT event_id, 400 + CAST(event_id % 50 AS INT) AS n
+  FROM events WHERE event_id < 64
+),
+terms AS (
+  SELECT event_id, n, g.k,
+         CAST((event_id * 31 + g.k * 7) % 201 - 100 AS BIGINT) AS d
+  FROM ev, UNNEST(generate_series(0, n - 1)) AS g(k)
+),
+samples AS (
+  SELECT event_id, k,
+         SUM(d) OVER (PARTITION BY event_id ORDER BY k) AS x
+  FROM terms
+),
+win_feat AS (
+  SELECT s.event_id, w.w AS win, s.k - w.w * {_K8R_STRIDE} AS i,
+         CAST(s.x AS DOUBLE) / 1000.0 AS v
+  FROM samples s,
+       UNNEST(generate_series(0, {_K8R_NWIN - 1})) AS w(w)
+  WHERE s.k >= w.w * {_K8R_STRIDE} AND s.k < w.w * {_K8R_STRIDE} + {_K8R_WIN}
+),
+w1(i, j, w) AS (VALUES {_K8R_W1}),
+b1(j, b) AS (VALUES {_K8R_B1}),
+w2(j, w) AS (VALUES {_K8R_W2}),
+pre AS (
+  SELECT f.event_id, f.win, w1.j, SUM(f.v * CAST(w1.w AS DOUBLE)) AS s
+  FROM win_feat f JOIN w1 ON w1.i = f.i
+  GROUP BY f.event_id, f.win, w1.j
+),
+hidden AS (
+  SELECT pre.event_id, pre.win, pre.j,
+         GREATEST(pre.s + CAST(b1.b AS DOUBLE), 0.0) AS h
+  FROM pre JOIN b1 ON b1.j = pre.j
+),
+prob AS (
+  SELECT h.event_id, h.win,
+         1.0 / (1.0 + EXP(-(SUM(h.h * CAST(w2.w AS DOUBLE)) + {_K8R_B2}))) AS p
+  FROM hidden h JOIN w2 ON w2.j = h.j
+  GROUP BY h.event_id, h.win
+),
+pick AS (
+  SELECT event_id, win, p,
+         row_number() OVER (PARTITION BY event_id ORDER BY p DESC, win) AS rn
+  FROM prob
+)
+SELECT CAST(event_id AS VARCHAR) AS record_id,
+       CAST(win AS INT) AS pick_window,
+       CAST(win * {_K8R_STRIDE} AS INT) AS pick_sample,
+       FLOOR(p * 1e6 + 0.5) / 1e6 AS pick_prob
+FROM pick WHERE rn = 1
+"""
+
+
+@register("k8_phasenet_real_picks", sql=K8R_SQL, survey=["K8", "S9", "F11"])
+def k8_phasenet_real_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+    from nzgmdb_spark.kernels.inference import predict_batch_udf, write_mlp_artifact
+    from nzgmdb_spark.queries.sources_io import _stage_dir, s9_mseed_real_decode
+
+    path = os.path.join(_stage_dir(sf_dir, "models"), "phasenet_mlp.npz")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_mlp_artifact(path, d_in=_K8R_WIN)
+    # real decode path (stages + decodes actual Steim2 MiniSEED files)
+    from nzgmdb_spark.sources.waveforms import (
+        decode_waveform_blobs,
+        mseed_decoder,
+        read_waveform_blobs,
+    )
+
+    s9_mseed_real_decode(spark, sf_dir)  # ensure staged
+    decoded = decode_waveform_blobs(
+        read_waveform_blobs(spark, _stage_dir(sf_dir, "mseed_real"), "*.mseed"),
+        decoder=mseed_decoder,
+    )
+    # map-side sliding windows over the decoded vertical component
+    wins = decoded.select(
+        "record_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_K8R_NWIN - 1}), w -> "
+                f"transform(slice(acc_ver, w * {_K8R_STRIDE} + 1, {_K8R_WIN}), x -> x / 1000.0))"
+            )
+        ).alias("win", "feat"),
+    )
+    score = predict_batch_udf(path)
+    scored = wins.select("record_id", "win", score("feat").alias("p"))
+    w = Window.partitionBy("record_id").orderBy(F.col("p").desc(), F.col("win"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "record_id",
+            F.col("win").cast("int").alias("pick_window"),
+            (F.col("win") * _K8R_STRIDE).cast("int").alias("pick_sample"),
+            pround(F.col("p"), 6).alias("pick_prob"),
+        )
+    )
