@@ -229,12 +229,14 @@ def decluster_distributed(
     The sequential algorithm (reference aftershocks.py:222-308) looks
     inherently ordered, but decomposes into Spark-shaped pieces:
 
-    1. **Eligibility pairs** — one join builds every (claimer k, target j)
-       with ``mag_j ≤ mag_k``, ``0 ≤ t_j − t_k ≤ W(mag_k)`` and CRJB ≤
-       cutoff (CRJB via an Arrow-batched pandas UDF over broadcast rupture
-       polygons). At catalog scale this is a broadcast theta-join; at
-       larger scale it becomes a time-bucketed range join on
-       ``floor(t / max_window)``.
+    1. **Eligibility pairs** — one TIME-BUCKETED EQUI-join builds every
+       (claimer k, target j) with ``mag_j ≤ mag_k``, ``0 ≤ t_j − t_k ≤
+       W(mag_k)`` and CRJB ≤ cutoff: claimers explode into their own and
+       the next ``floor(t / max_window)`` bucket, targets join on bucket
+       equality, and the mag/time/distance conditions are residual
+       filters (CRJB via an Arrow-batched pandas UDF over the corners
+       column). Candidates scale with co-windowed pair density, never
+       catalog².
     2. **Mainshock fixpoint** — whether an event was unclaimed when its
        turn came depends only on STRICTLY earlier-priority events
        (priority = mag desc, evid asc), so ``mainshock_at_turn`` is the
@@ -334,12 +336,41 @@ def decluster_distributed(
         ).otherwise(F.pow(F.lit(10.0), 0.5409 * F.col("k_mag") - 0.547))
         * 86400.0
     )
-    k = e.select(
-        F.col("prio").alias("k_prio"),
-        F.col("evid").alias("k_evid"),
-        F.col("t").alias("k_t"),
-        F.col("mag").alias("k_mag"),
-    ).withColumn("k_win", window_s)
+    # Time-bucketed ELIGIBILITY join: a raw (mag, time-window) theta join
+    # is all-pairs at plan level. Bucket width = the widest possible claim
+    # horizon (the Gardner-Knopoff window of the catalog's largest event —
+    # one scalar aggregate, an optimizer statistic, not data through the
+    # driver); every claimable target then lies in the claimer's own or
+    # next time bucket, so the pair join becomes an EQUI-join on bucket
+    # with the mag/time/distance conditions as residual filters. Candidate
+    # pairs scale with co-windowed density, not catalog². A catalog shorter
+    # than one bucket degenerates to the dense case; hot buckets are AQE
+    # skew-split territory.
+    max_mag = e.agg(F.max("mag")).collect()[0][0]
+    bucket_s = max(
+        gardner_knopoff_window_days(float(max_mag)) * 86400.0
+        if max_mag is not None
+        else 86400.0,
+        1.0,
+    )
+    k = (
+        e.select(
+            F.col("prio").alias("k_prio"),
+            F.col("evid").alias("k_evid"),
+            F.col("t").alias("k_t"),
+            F.col("mag").alias("k_mag"),
+        )
+        .withColumn("k_win", window_s)
+        .withColumn(
+            "kb",
+            F.explode(
+                F.array(
+                    F.floor(F.col("k_t") / bucket_s),
+                    F.floor(F.col("k_t") / bucket_s) + 1,
+                )
+            ),
+        )
+    )
     j = e.select(
         F.col("prio").alias("j_prio"),
         F.col("evid").alias("j_evid"),
@@ -347,7 +378,7 @@ def decluster_distributed(
         F.col("mag").alias("j_mag"),
         F.col("lat").alias("j_lat"),
         F.col("lon").alias("j_lon"),
-    )
+    ).withColumn("jb", F.floor(F.col("j_t") / bucket_s))
     # Bounding-circle prefilter: CRJB ≤ cutoff implies the centroid lies
     # within cutoff + circumradius of the polygon center, so a pure-SQL
     # haversine kills the bulk of time/mag-qualified pairs (at sf0.01,
@@ -412,7 +443,8 @@ def decluster_distributed(
     pairs = (
         k.join(
             j,
-            (F.col("j_mag") <= F.col("k_mag"))
+            (F.col("kb") == F.col("jb"))
+            & (F.col("j_mag") <= F.col("k_mag"))
             & (F.col("j_t") >= F.col("k_t"))
             & (F.col("j_t") <= F.col("k_t") + F.col("k_win"))
             & (F.col("k_evid") != F.col("j_evid")),
