@@ -237,3 +237,51 @@ def test_decimal_year_vectors(spark):
     assert abs(got[0] - 2020.0) < 1e-9
     assert abs(got[1] - 2020.5) < 1e-9
     assert abs(got[2] - 2020.999999) < 1e-5
+
+
+def test_distributed_bucketed_join_crosses_buckets(spark):
+    # The eligibility join buckets time by the max Gardner-Knopoff window.
+    # A low-magnitude catalog spread over many buckets forces claims that
+    # cross bucket boundaries — the exploded (own, next) bucket pair must
+    # still find every eligible target, i.e. stay exactly equivalent to
+    # the sequential algorithm.
+    import random
+
+    from nzgmdb_spark.operators.decluster import (
+        decluster_catalog,
+        decluster_distributed,
+    )
+
+    rng = random.Random(99)
+    t0 = _epoch("2020-01-01T00:00:00")
+    events = []
+    for i in range(150):
+        lat = 34.0 + rng.choice([0.0, 0.01, 0.02]) + rng.random() * 0.004
+        lon = -118.0 + rng.choice([0.0, 0.01]) + rng.random() * 0.004
+        mag = rng.choice([4.0, 4.2, 4.5])  # W(4.5) ~ 77 days
+        dt_days = rng.random() * 400.0  # ~6 buckets
+        events.append(
+            {
+                "evid": f"b{i:04d}",
+                "datetime": t0 + dt_days * 86400.0,
+                "mag": mag,
+                "lat": lat,
+                "lon": lon,
+                "corners": _square(lat, lon),
+            }
+        )
+    events.sort(key=lambda e: e["evid"])
+    a_seq, c_seq = decluster_catalog(events, crjb_cutoff_km=10.0)
+    assert sum(a_seq) > 10  # the fixture must actually cluster
+
+    df = spark.createDataFrame(
+        [(e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"]) for e in events],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: e["corners"] for e in events}
+    got = {r.evid: r for r in decluster_distributed(df, corners).collect()}
+    evids = [e["evid"] for e in events]
+    assert [got[e].aftershock_flag for e in evids] == a_seq
+    assert _partitions(evids, [got[e].cluster_evid for e in evids]) == _partitions(
+        evids, c_seq
+    )
