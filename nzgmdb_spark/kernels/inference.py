@@ -36,10 +36,17 @@ class NpzMLP:
             self.w2 = z["W2"].astype(np.float64)
             self.b2 = z["b2"].astype(np.float64)
 
+    @property
+    def n_out(self) -> int:
+        return self.w2.shape[1]
+
     def predict(self, x: np.ndarray) -> np.ndarray:
+        """(n, d_in) → (n,) for single-output artifacts, (n, k) for
+        multi-output ones (e.g. a GMC-style score/fmin/multi head)."""
         h = np.maximum(x @ self.w1 + self.b1, 0.0)
-        logit = (h @ self.w2 + self.b2).ravel()
-        return 1.0 / (1.0 + np.exp(-logit))
+        logit = h @ self.w2 + self.b2
+        out = 1.0 / (1.0 + np.exp(-logit))
+        return out.ravel() if self.n_out == 1 else out
 
 
 class OnnxModel:  # pragma: no cover - exercised only where onnxruntime exists
@@ -89,6 +96,21 @@ def predict_batch_udf(model_path: str):
     return pandas_udf(_predict, "double")
 
 
+def predict_batch_udf_multi(model_path: str):
+    """pandas UDF: array<float> features → array<double> of k model
+    outputs (multi-head artifacts such as a GMC-style scorer)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _predict(features):
+        model = load_model(model_path)
+        x = np.stack([np.asarray(f, dtype=np.float64) for f in features])
+        out = np.atleast_2d(model.predict(x))
+        return pd.Series([row.tolist() for row in out])
+
+    return pandas_udf(_predict, "array<double>")
+
+
 # --- Deterministic artifact generation (md5-derived weights, the engine's
 # seeding convention): the SAME integers parametrize the staged npz file
 # AND the SQL oracle's inline weight tables, so real file-backed inference
@@ -100,15 +122,21 @@ def _md5_weight(tag: str, i: int, j: int) -> float:
     return (int(h[0], 16) - 7.5) / 8.0
 
 
-def mlp_weights(d_in: int = 64, hidden: int = 4) -> dict[str, np.ndarray]:
+def mlp_weights(
+    d_in: int = 64, hidden: int = 4, n_out: int = 1
+) -> dict[str, np.ndarray]:
     w1 = np.array(
         [[_md5_weight("w1", i, j) for j in range(hidden)] for i in range(d_in)]
     )
     b1 = np.array([_md5_weight("b1", 0, j) for j in range(hidden)])
-    w2 = np.array([[_md5_weight("w2", j, 0)] for j in range(hidden)])
-    b2 = np.array([_md5_weight("b2", 0, 0)])
+    w2 = np.array(
+        [[_md5_weight("w2", j, o) for o in range(n_out)] for j in range(hidden)]
+    )
+    b2 = np.array([_md5_weight("b2", 0, o) for o in range(n_out)])
     return {"W1": w1, "b1": b1, "W2": w2, "b2": b2}
 
 
-def write_mlp_artifact(path: str, d_in: int = 64, hidden: int = 4) -> None:
-    np.savez(path, **mlp_weights(d_in, hidden))
+def write_mlp_artifact(
+    path: str, d_in: int = 64, hidden: int = 4, n_out: int = 1
+) -> None:
+    np.savez(path, **mlp_weights(d_in, hidden, n_out))

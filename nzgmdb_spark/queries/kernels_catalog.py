@@ -890,3 +890,89 @@ def k8_phasenet_real_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("p"), 6).alias("pick_prob"),
         )
     )
+
+
+# --- GMC real-artifact scoring: the reference's ground-motion classifier
+# (wiki/GMC.md, run_gmc.py:86-108) emits THREE metrics per record —
+# quality score, low-cut frequency, multi-event flag probability — from
+# one neural net. Served here as a real multi-head .npz artifact through
+# the multi-output predict UDF (array<double> out); the oracle rebuilds
+# all three sigmoid heads from inline weight tables. Completes the model
+# trio: ClipNet-shaped (k7, scalar), PhaseNet-shaped (k8, windowed
+# series), GMC-shaped (multi-head).
+
+def _gmc_mlp_values() -> tuple[str, str, str]:
+    w = mlp_weights(n_out=3)
+    w1 = ", ".join(
+        f"({i}, {j}, {w['W1'][i, j]!r})"
+        for i in range(w["W1"].shape[0])
+        for j in range(w["W1"].shape[1])
+    )
+    b1 = ", ".join(f"({j}, {w['b1'][j]!r})" for j in range(len(w["b1"])))
+    w2b2 = ", ".join(
+        f"({j}, {o}, {w['W2'][j, o]!r}, {w['b2'][o]!r})"
+        for j in range(w["W2"].shape[0])
+        for o in range(3)
+    )
+    return w1, b1, w2b2
+
+
+_GMC_W1, _GMC_B1, _GMC_W2B2 = _gmc_mlp_values()
+
+GMC_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, g.i AS dim, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+w1(i, j, w) AS (VALUES {_GMC_W1}),
+b1(j, b) AS (VALUES {_GMC_B1}),
+w2(j, o, w, b2) AS (VALUES {_GMC_W2B2}),
+pre AS (
+  SELECT d.vec_id, w1.j, SUM(d.v * CAST(w1.w AS DOUBLE)) AS s
+  FROM dims d JOIN w1 ON w1.i = d.dim
+  GROUP BY d.vec_id, w1.j
+),
+hidden AS (
+  SELECT pre.vec_id, pre.j, GREATEST(pre.s + CAST(b1.b AS DOUBLE), 0.0) AS h
+  FROM pre JOIN b1 ON b1.j = pre.j
+),
+heads AS (
+  SELECT h.vec_id, w2.o,
+         1.0 / (1.0 + EXP(-(SUM(h.h * CAST(w2.w AS DOUBLE)) + MAX(CAST(w2.b2 AS DOUBLE))))) AS p
+  FROM hidden h JOIN w2 ON w2.j = h.j
+  GROUP BY h.vec_id, w2.o
+)
+SELECT vec_id,
+       FLOOR(MAX(CASE WHEN o = 0 THEN p END) * 1e6 + 0.5) / 1e6 AS score_mean,
+       FLOOR((0.05 + 0.45 * MAX(CASE WHEN o = 1 THEN p END)) * 1e6 + 0.5) / 1e6
+         AS fmin_mean,
+       FLOOR(MAX(CASE WHEN o = 2 THEN p END) * 1e6 + 0.5) / 1e6 AS multi_mean
+FROM heads
+GROUP BY vec_id
+"""
+
+
+@register("gmc_real_scores", sql=GMC_SQL, survey=["K7", "J4", "F11"])
+def gmc_real_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+    from nzgmdb_spark.kernels.inference import (
+        predict_batch_udf_multi,
+        write_mlp_artifact,
+    )
+    from nzgmdb_spark.queries.sources_io import _stage_dir
+
+    path = os.path.join(_stage_dir(sf_dir, "models"), "gmc_mlp3.npz")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_mlp_artifact(path, n_out=3)
+    heads = predict_batch_udf_multi(path)
+    e = tbl(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", heads("embedding").alias("p"))
+        .select(
+            "vec_id",
+            pround(F.element_at("p", 1), 6).alias("score_mean"),
+            pround(0.05 + 0.45 * F.element_at("p", 2), 6).alias("fmin_mean"),
+            pround(F.element_at("p", 3), 6).alias("multi_mean"),
+        )
+    )
