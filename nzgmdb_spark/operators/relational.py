@@ -116,3 +116,55 @@ def set_difference_keys(
     return left.select(*on).dropDuplicates(on).join(
         right.select(*on).dropDuplicates(on), on, "left_anti"
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_width: int,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Scale-safe interval overlap join: emit one row per (left, right) pair
+    whose ``[start, end]`` intervals (integer units, inclusive) overlap.
+
+    A naive overlap join is a pure theta join (``l.start <= r.end AND
+    r.start <= l.end``) which Spark can only execute as a nested-loop
+    cartesian — O(|L|·|R|) compute regardless of how sparse the overlaps
+    are.  Instead each interval explodes into the fixed-width buckets it
+    covers (``sequence(floor(start/W), floor(end/W))``) and the join becomes
+    a plain hash-partitioned EQUI-join on the bucket id with the overlap
+    test as a residual filter.  Work scales with co-bucketed pair density —
+    the same trick the decluster eligibility join uses for its
+    Gardner-Knopoff time windows (operators/decluster.py) and the shape
+    Databricks ships as its range-join optimization.
+
+    Dedup without a distinct: a pair overlapping across k shared buckets
+    would emit k times, so the join keeps only the bucket containing
+    ``greatest(l.start, r.start)`` — that bucket is covered by both
+    intervals exactly once, so each overlapping pair survives exactly once
+    and no post-join shuffle is needed.
+
+    ``left``/``right`` must expose integer columns ``start`` and ``end``;
+    all other columns are carried through with the given suffixes.
+    """
+    ls, le = f"start{suffixes[0]}", f"end{suffixes[0]}"
+    rs, re_ = f"start{suffixes[1]}", f"end{suffixes[1]}"
+    lren = left.select([F.col(c).alias(c + suffixes[0]) for c in left.columns])
+    rren = right.select([F.col(c).alias(c + suffixes[1]) for c in right.columns])
+    w = F.lit(int(bucket_width))
+    lb = lren.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(F.col(ls) / w), F.floor(F.col(le) / w))),
+    )
+    rb = rren.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(F.col(rs) / w), F.floor(F.col(re_) / w))),
+    )
+    pairs = lb.join(
+        rb,
+        (lb["_bucket"] == rb["_bucket"])
+        & (F.col(ls) <= F.col(re_))
+        & (F.col(rs) <= F.col(le))
+        & (lb["_bucket"] == F.floor(F.greatest(F.col(ls), F.col(rs)) / w)),
+    )
+    return pairs.drop("_bucket")

@@ -28,6 +28,7 @@ _MODULES = (
     "nzgmdb_spark.queries.dedup",
     "nzgmdb_spark.queries.similarity",
     "nzgmdb_spark.queries.sketches",
+    "nzgmdb_spark.queries.scale_ops",
 )
 
 

@@ -1,0 +1,233 @@
+"""Scale-path operator battery: the plan shapes that keep working at 100 TB.
+
+Three families the reference has no analog of but any cluster-scale
+deployment needs, each registered with a full DuckDB value-hash oracle:
+
+1. ``j_interval_overlap_bucketed`` — interval overlap join executed as a
+   bucketed EQUI-join (operators/relational.py:interval_overlap_join)
+   instead of the nested-loop theta join the naive formulation forces.
+   The oracle IS the naive theta join, so the optimization is proven
+   result-identical.
+2. ``a_heavy_hitters_cms`` — a Count-Min sketch built entirely from
+   deterministic md5 hashing: d×w counters as a groupBy aggregate (fixed
+   memory, map-side combinable, mergeable — the only viable heavy-hitter
+   shape when the key space doesn't fit anywhere). Because the hash is
+   counter-based, DuckDB rebuilds the identical sketch and the ESTIMATES
+   value-hash-match, not just the exact counts.
+3. ``j_bloom_runtime_filter`` — a selective dim joined to the fact where
+   Spark's runtime bloom-filter injection (the engine-level analog of the
+   reference's skip-list prefilters) prunes fact rows before the shuffle;
+   tests/test_plans.py pins the BloomFilterMightContain injection under
+   cluster-scale thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.operators.relational import interval_overlap_join
+from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.tables import tbl
+
+# ---------------------------------------------------------------------------
+# Interval overlap join: click activity windows (15 min) × purchase windows
+# (5 min). No equi key exists, so a naive plan is a cartesian; the bucketed
+# operator makes it a hash join on floor(time/W).
+
+_CLICK_US = 900 * 1_000_000  # 15-min click activity window, microseconds
+_PURCHASE_US = 300 * 1_000_000  # 5-min purchase window
+_BUCKET_US = 900 * 1_000_000  # bucket width ≥ typical interval length
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH l AS (
+  SELECT event_id, epoch_us(ts) AS start, epoch_us(ts) + {_CLICK_US} AS "end"
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT event_id, epoch_us(ts) AS start, epoch_us(ts) + {_PURCHASE_US} AS "end"
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id AS click_id,
+       r.event_id AS purchase_id,
+       GREATEST(l.start, r.start) AS ov_start,
+       LEAST(l."end", r."end") AS ov_end
+FROM l JOIN r ON l.start <= r."end" AND r.start <= l."end"
+"""
+
+
+@register(
+    "j_interval_overlap_bucketed",
+    sql=INTERVAL_OVERLAP_SQL,
+    survey=["J16", "F8"],
+)
+def j_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval overlap join; oracle is the naive theta join.
+
+    Reference analog: window-membership checks (aftershocks.py eligibility
+    windows); generalized here to arbitrary interval sets. unix_micros /
+    epoch_us keep both engines in exact integer microseconds.
+    """
+    e = tbl(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("start"), "event_type"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("end", F.col("start") + F.lit(_CLICK_US))
+        .drop("event_type")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("end", F.col("start") + F.lit(_PURCHASE_US))
+        .drop("event_type")
+    )
+    pairs = interval_overlap_join(clicks, purchases, bucket_width=_BUCKET_US)
+    return pairs.select(
+        F.col("event_id_l").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.greatest("start_l", "start_r").alias("ov_start"),
+        F.least("end_l", "end_r").alias("ov_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters. d=4 hash rows × w=512 buckets over the
+# document token stream; estimates for the exact top-20 tokens come out of
+# the sketch alone. Deterministic md5 bucketing → DuckDB rebuilds the
+# identical counters, so cms_estimate is value-hash-checked, and the CMS
+# no-underestimate guarantee is asserted as a boolean column.
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _bucket_spark(row: int) -> F.Column:
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), F.col("tok")).cast("binary"))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
+    ).alias("bucket")
+
+
+def _bucket_sql(row: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{row}:' || tok), 1, 8)) AS BIGINT) "
+        f"% {_CMS_W}"
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+rows AS (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS r),
+counters AS (
+  SELECT r,
+         CASE r {" ".join(f"WHEN {i} THEN {_bucket_sql(i)}" for i in range(_CMS_D))} END
+           AS bucket,
+         count(*) AS c
+  FROM toks, rows
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, count(*) AS n_exact
+  FROM toks GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20
+),
+probes AS (
+  SELECT tok, n_exact, r,
+         CASE r {" ".join(f"WHEN {i} THEN {_bucket_sql(i)}" for i in range(_CMS_D))} END
+           AS bucket
+  FROM top, rows
+)
+SELECT p.tok, p.n_exact, min(c.c) AS cms_estimate,
+       min(c.c) >= p.n_exact AS never_underestimates
+FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.tok, p.n_exact
+"""
+
+
+@register("a_heavy_hitters_cms", sql=HEAVY_HITTERS_SQL, survey=["A8", "O3"])
+def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters, estimates value-hash-checked.
+
+    Plan: one token explode, a ×d row explode into the (r, bucket) counter
+    aggregate (map-side combinable — the sketch itself), an exact top-20
+    (the verification side), and a broadcast probe join back into the
+    counters. At 100 TB the counter table is d·w rows regardless of corpus
+    size; only the exact-count verification side scales with data, and in
+    production that side is dropped — the sketch alone answers the query.
+    """
+    toks = tbl(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ).alias("r")
+    bucket = None
+    for i in range(_CMS_D):
+        b = _bucket_spark(i)
+        bucket = F.when(F.col("r") == i, b) if bucket is None else bucket.when(
+            F.col("r") == i, b
+        )
+    counters = (
+        toks.select("tok", rows)
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok"))
+        .limit(20)
+    )
+    probes = top.select("tok", "n_exact", rows).select(
+        "tok", "n_exact", "r", bucket.alias("bucket")
+    )
+    return (
+        F.broadcast(probes)
+        .join(counters, ["r", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(
+            F.min("c").alias("cms_estimate"),
+            (F.min("c") >= F.first("n_exact")).alias("never_underestimates"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join: a selective dim (low-priority urgent orders)
+# joined to the fact. At bench scale Catalyst broadcasts the dim; at 100 TB
+# with both sides shuffling, Spark's runtime bloom filter builds a compact
+# bitmap from the dim's join keys and prunes fact rows BEFORE the exchange
+# — the engine-level analog of the reference's skip-record prefilters
+# (quality_db.py skip lists). tests/test_plans.py forces the shuffle-join
+# regime and pins the BloomFilterMightContain injection.
+
+BLOOM_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38, 6))) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000.0
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("j_bloom_runtime_filter", sql=BLOOM_JOIN_SQL, survey=["J6", "P7"])
+def j_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import dsum
+
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 400000.0)
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "revenue"),
+        )
+    )

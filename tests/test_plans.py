@@ -271,3 +271,63 @@ def test_round2_new_query_plan_shapes(spark):
     plan = plan_of(spark, "k16_ngasub_tectclass")
     assert n_shuffles(plan) <= 1, "K16 gained shuffles"
     assert "Window" not in plan, "K16 nearest-point via window, not struct-min"
+
+
+def test_interval_overlap_no_cartesian(spark):
+    # The bucketed interval overlap join must plan as an EQUI-join on the
+    # bucket id (hash or broadcast hash join) — never the nested-loop
+    # cartesian the naive theta formulation forces.
+    plan = plan_of(spark, "j_interval_overlap_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "interval overlap regressed to a nested-loop theta join"
+    )
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS a join, keyed on the bucket
+
+
+def test_cms_counters_partial_agg_and_broadcast_probe(spark):
+    # The Count-Min counter build must partial-aggregate map-side (the
+    # sketch is mergeable — that IS the point), and the top-20 probe side
+    # must broadcast into the counter table, never shuffle it.
+    plan = plan_of(spark, "a_heavy_hitters_cms")
+    assert "partial_count" in plan or "Partial" in plan, (
+        "CMS counters lost map-side combine"
+    )
+    assert "BroadcastHashJoin" in plan, "CMS probe join is not broadcast"
+
+
+def test_runtime_bloom_filter_injection(spark):
+    # At cluster scale (both join sides shuffling, large fact scan) Spark
+    # must inject a runtime bloom filter built from the selective dim's
+    # keys onto the fact scan — row-level pruning BEFORE the exchange, the
+    # engine analog of the reference's skip-list prefilters. Simulate the
+    # regime by disabling broadcast and lowering the application-side scan
+    # threshold to cover the test fact.
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1B",
+        )
+        df = load_registry()["j_bloom_runtime_filter"].fn(spark, SF_SMALL)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, (
+            "runtime bloom filter not injected on the fact side"
+        )
+        assert "might_contain" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

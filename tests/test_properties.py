@@ -174,3 +174,51 @@ def test_cc_propagation_raises_on_deep_chain(spark):
     # and with enough rounds the same chain collapses to one cluster
     out = propagate_min_labels(edges, max_rounds=25)
     assert {r.cluster_id for r in out.collect()} == {0}
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 700)),
+        min_size=0,
+        max_size=60,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 700)),
+        min_size=0,
+        max_size=60,
+    ),
+    width=st.sampled_from([64, 256, 1000]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_overlap_join_matches_naive(spark, left, right, width):
+    # The bucketed equi-join must emit exactly the naive theta-join pair
+    # set — each overlapping pair once, regardless of how many buckets the
+    # pair shares (intervals up to 11× the smallest bucket width force
+    # multi-bucket coverage).
+    from nzgmdb_spark.operators.relational import interval_overlap_join
+
+    lrows = [(i, s, s + d) for i, (s, d) in enumerate(left)]
+    rrows = [(i, s, s + d) for i, (s, d) in enumerate(right)]
+    expected = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re_ in rrows
+        if ls <= re_ and rs <= le
+    }
+    ldf = spark.createDataFrame(lrows or [(0, 1, 0)], "id int, start long, end long")
+    rdf = spark.createDataFrame(rrows or [(0, 1, 0)], "id int, start long, end long")
+    if not lrows:
+        ldf = ldf.filter(F.lit(False))
+    if not rrows:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        (r.id_l, r.id_r)
+        for r in interval_overlap_join(ldf, rdf, bucket_width=width)
+        .select("id_l", "id_r")
+        .collect()
+    }
+    assert got == expected
