@@ -29,6 +29,7 @@ _MODULES = (
     "nzgmdb_spark.queries.similarity",
     "nzgmdb_spark.queries.sketches",
     "nzgmdb_spark.queries.scale_ops",
+    "nzgmdb_spark.queries.curation",
 )
 
 

@@ -1,0 +1,229 @@
+"""Training-data curation battery: the document-quality gates a 100 TB
+pretraining pipeline runs between raw scrape and tokenizer, each as a
+registered oracle-checked query over the documents table.
+
+1. ``text_repetition_signals`` — Gopher-style within-document repetition
+   metrics (modal-bigram fraction, duplicated-trigram fraction) with a
+   keep/drop flag. Repetitious documents are the single biggest quality
+   leak in scraped corpora; the metrics are one explode + two per-doc
+   aggregations, map-side combinable, linear in corpus size.
+2. ``text_pii_scrub`` — regex PII redaction (emails, phone numbers) with
+   per-document match counts and the redacted text fingerprint. The query
+   stages deterministic PII into the synthetic corpus first (doc_id
+   arithmetic), so the redaction path is exercised non-vacuously and both
+   engines rebuild the identical staged input.
+3. ``text_domain_cap`` — per-domain document cap (keep the top-k docs per
+   source by quality rank), the standard Common-Crawl-style guard against
+   a single domain dominating the corpus. One shuffle on the domain key,
+   one window, deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.functions import pround
+from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.tables import tbl
+
+# ---------------------------------------------------------------------------
+# Repetition signals. Fractions are ratios of BIGINT counts (exact on both
+# engines); rounded via the portable floor(x·1e6 + 0.5)/1e6 formula.
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS gs(i)
+),
+tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS gs(i)
+),
+bistat AS (
+  SELECT doc_id, max(c) AS max_bi, sum(c) AS n_bi
+  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+tristat AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+         sum(c) AS n_tri
+  FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       floor(CAST(b.max_bi AS DOUBLE) / b.n_bi * 1000000.0 + 0.5) / 1000000.0
+         AS top_bigram_frac,
+       floor(CAST(t.dup_tri AS DOUBLE) / t.n_tri * 1000000.0 + 0.5) / 1000000.0
+         AS dup_trigram_frac,
+       (CAST(b.max_bi AS DOUBLE) / b.n_bi <= 0.05
+        AND CAST(t.dup_tri AS DOUBLE) / t.n_tri <= 0.05) AS keep
+FROM bistat b JOIN tristat t ON b.doc_id = t.doc_id
+"""
+
+
+@register("text_repetition_signals", sql=REPETITION_SQL, survey=["A4", "F1"])
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality gate (Gopher §A.1.1 analog).
+
+    Plan: tokenize once, derive bigrams and trigrams as map-side array
+    transforms, one (doc_id, gram) count each, one per-doc rollup each,
+    and a doc_id equi-join of the two signal tables — every aggregation
+    partial/map-side-combinable, nothing quadratic, no window over the
+    gram stream.
+    """
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1),"
+                " ' ', element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    bistat = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bi"), F.sum("c").alias("n_bi"))
+    )
+    tristat = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_tri"
+            ),
+            F.sum("c").alias("n_tri"),
+        )
+    )
+    top_frac = F.col("max_bi").cast("double") / F.col("n_bi")
+    dup_frac = F.col("dup_tri").cast("double") / F.col("n_tri")
+    return bistat.join(tristat, "doc_id").select(
+        "doc_id",
+        pround(top_frac, 6).alias("top_bigram_frac"),
+        pround(dup_frac, 6).alias("dup_trigram_frac"),
+        ((top_frac <= 0.05) & (dup_frac <= 0.05)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing. Deterministic PII is staged into every even doc_id (one
+# email + one phone appended), so redaction is exercised on exactly half
+# the corpus and both engines agree on the staged input byte-for-byte.
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "\\+[0-9]{2}-[0-9]{2}-[0-9]{6}"
+
+PII_SQL = f"""
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example or +64-21-'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM staged
+"""
+
+
+@register("text_pii_scrub", sql=PII_SQL, survey=["F3", "P6"])
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction: match counts + redacted-text fingerprint.
+
+    Pure map-side scalar pipeline — zero shuffles at any scale; the regex
+    subset used (char classes, bounded repeats) behaves identically under
+    Java regex (Spark) and RE2 (DuckDB).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example or +64-21-"),
+                F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap: keep the top-k documents per source by quality rank
+# (longest first, doc_id tie-break — fully deterministic).
+
+_DOMAIN_CAP = 10
+
+DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, rn AS domain_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {_DOMAIN_CAP}
+"""
+
+
+@register("text_domain_cap", sql=DOMAIN_CAP_SQL, survey=["W4", "O3"])
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per domain: one shuffle on source, one window pass.
+
+    At 100 TB the per-domain top-k should use the rank-pushdown the
+    window's row_number() <= k filter gets from Spark's
+    WindowGroupLimit optimization — the limit is applied inside the sort,
+    before materializing each domain's full partition.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.row_number().over(w).alias("domain_rank")
+        )
+        .filter(F.col("domain_rank") <= _DOMAIN_CAP)
+    )

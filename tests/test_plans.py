@@ -331,3 +331,23 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_plan_shapes(spark):
+    # PII scrub is pure scalar work: zero shuffles at any scale.
+    plan = plan_of(spark, "text_pii_scrub")
+    assert n_shuffles(plan) == 0, "PII scrub gained a shuffle"
+
+    # Domain cap: exactly one shuffle (the domain key), and Spark's
+    # WindowGroupLimit must push the rank<=k limit inside the sort so a
+    # mega-domain never materializes its full partition just to rank it.
+    plan = plan_of(spark, "text_domain_cap")
+    assert n_shuffles(plan) == 1
+    assert "WindowGroupLimit" in plan, "per-domain top-k lost rank pushdown"
+
+    # Repetition signals: two gram-count aggregations, each with a
+    # map-side partial phase, joined on doc_id — never a window over the
+    # exploded gram stream.
+    plan = plan_of(spark, "text_repetition_signals")
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
