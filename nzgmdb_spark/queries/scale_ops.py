@@ -231,3 +231,59 @@ def j_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# File-stats data skipping: stage the events table write-clustered on time
+# (repartitionByRange + sortWithinPartitions — the Z-order/liquid-cluster
+# layout discipline), build the per-file min/max stats table, and answer a
+# 3-day range query by scanning ONLY the files whose range intersects —
+# the Delta/Iceberg skipping mechanism rebuilt engine-side. The residual
+# predicate keeps correctness independent of the stats, and the oracle is
+# the plain unpruned filter, so the hash match proves pruning lost nothing.
+
+_SKIP_N_FILES = 12
+_SKIP_LO = 1704844800000000  # 2024-01-10T00:00:00Z, microseconds
+_SKIP_HI = 1705103999999999  # 2024-01-13 exclusive
+
+
+def _staged_clustered_events(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/nzgmdb_spark_io/{key}/events_clustered"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from nzgmdb_spark.operators.skipping import write_clustered
+
+        e = tbl(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        write_clustered(e, path, "ts_us", _SKIP_N_FILES)
+    return path
+
+
+STATS_PRUNED_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE epoch_us(ts) BETWEEN {_SKIP_LO} AND {_SKIP_HI}
+GROUP BY event_type
+"""
+
+
+@register("s_stats_pruned_scan", sql=STATS_PRUNED_SQL, survey=["S14", "P1"])
+def s_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import dsum
+    from nzgmdb_spark.operators.skipping import collect_file_stats, pruned_scan
+
+    path = _staged_clustered_events(spark, sf_dir)
+    stats = collect_file_stats(spark, path, ["ts_us"])
+    picked = pruned_scan(spark, stats, "ts_us", _SKIP_LO, _SKIP_HI)
+    return picked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )

@@ -1,0 +1,66 @@
+"""File-stats data-skipping: the pruned scan must actually skip files and
+still return exactly the unpruned answer (operators/skipping.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.operators.skipping import (
+    collect_file_stats,
+    pruned_files,
+    pruned_scan,
+    write_clustered,
+)
+from nzgmdb_spark.queries.scale_ops import (
+    _SKIP_HI,
+    _SKIP_LO,
+    _staged_clustered_events,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_pruned_scan_skips_files_and_matches_full_scan(spark):
+    path = _staged_clustered_events(spark, SF_SMALL)
+    stats = collect_file_stats(spark, path, ["ts_us"])
+    n_total = stats.count()
+    files = pruned_files(stats, "ts_us", _SKIP_LO, _SKIP_HI)
+    # A 3-day window over a month of write-clustered data must not touch
+    # most of the files — that's the entire point of the layout.
+    assert 0 < len(files) < n_total / 2, (
+        f"pruning not selective: {len(files)}/{n_total} files survive"
+    )
+    got = (
+        pruned_scan(spark, stats, "ts_us", _SKIP_LO, _SKIP_HI)
+        .select("event_id")
+        .collect()
+    )
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("ts_us").between(_SKIP_LO, _SKIP_HI))
+        .select("event_id")
+        .collect()
+    )
+    assert sorted(r.event_id for r in got) == sorted(r.event_id for r in want)
+
+
+def test_pruned_scan_empty_range_keeps_schema(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 7 % 100).alias("k")
+    )
+    write_clustered(df, path, "id", 4)
+    stats = collect_file_stats(spark, path, ["id"])
+    assert stats.count() == 4
+    empty = pruned_scan(spark, stats, "id", 10_000, 20_000)
+    assert empty.columns == ["id", "k"]
+    assert empty.count() == 0
+
+
+def test_write_clustered_files_are_range_disjoint(spark, tmp_path):
+    path = str(tmp_path / "clustered2")
+    df = spark.range(0, 10_000).select(F.col("id"))
+    write_clustered(df, path, "id", 8)
+    stats = collect_file_stats(spark, path, ["id"]).collect()
+    spans = sorted((r.min_id, r.max_id) for r in stats)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "range clustering produced overlapping files"
