@@ -249,3 +249,44 @@ def running_user_totals(stream: DataFrame, key_col: str = "user_id") -> DataFram
         outputMode="Update",
         timeMode="None",
     )
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    purchase joins the same user's clicks from the preceding ``window``.
+
+    The join-state problem this solves at scale: an unconstrained
+    stream-stream join must buffer BOTH streams forever. The watermark on
+    each side plus the time-range join condition lets Spark derive state
+    watermarks — buffered clicks are evicted once no future purchase can
+    reach back to them, so state is bounded by (watermark + window) of
+    data regardless of how long the streams run. Join dispatch itself is
+    hash-partitioned on user_id, the equi half of the condition.
+
+    Batch twin: the same join expression over static frames (tested for
+    parity in tests/test_streaming.py); the bucketed batch analog is
+    queries/scale_ops.py:j_interval_overlap_bucketed.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - interval {window}"
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")

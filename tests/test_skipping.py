@@ -64,3 +64,35 @@ def test_write_clustered_files_are_range_disjoint(spark, tmp_path):
     spans = sorted((r.min_id, r.max_id) for r in stats)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, "range clustering produced overlapping files"
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from nzgmdb_spark.operators.skipping import write_zordered, zvalue
+
+    path = str(tmp_path / "zordered")
+    # 64×64 grid, one row per cell — uniform in both dims.
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    write_zordered(df, path, "x", "y", n_files=16, bits=6)
+    stats = collect_file_stats(spark, path, ["x", "y"])
+    n_total = stats.count()
+    assert n_total == 16
+    # A narrow slice in EITHER dimension must skip most files — the
+    # property a 1-D sort on x cannot give for y.
+    x_files = pruned_files(stats, "x", 0, 7)
+    y_files = pruned_files(stats, "y", 0, 7)
+    assert 0 < len(x_files) <= n_total / 2, f"x slice kept {len(x_files)}"
+    assert 0 < len(y_files) <= n_total / 2, f"y slice kept {len(y_files)}"
+    # And the pruned reads still return exactly the right rows.
+    got = pruned_scan(spark, stats, "y", 0, 7).count()
+    assert got == 8 * 64
+
+    # zvalue is the documented bit interleave: x=0b101, y=0b011 →
+    # bit pairs (y_i x_i) from high to low: (0,1) (1,0) (1,1) = 0b011011.
+    row = spark.range(1).select(zvalue(F.lit(5), F.lit(3), bits=3)).collect()
+    assert row[0][0] == 0b011011

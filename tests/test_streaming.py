@@ -285,3 +285,78 @@ def test_transform_with_state_running_totals(spark, session_stream_dir, tmp_path
     )
     want = {(r.user_id, r.n, r.t) for r in batch}
     assert got == want
+
+
+@pytest.fixture()
+def two_stream_dirs(tmp_path):
+    clicks = tmp_path / "clicks"
+    purchases = tmp_path / "purchases"
+    clicks.mkdir()
+    purchases.mkdir()
+    click_rows = [
+        {"event_id": 10, "ts": "2024-01-01 00:00:00", "user_id": 1},
+        {"event_id": 11, "ts": "2024-01-01 00:05:00", "user_id": 1},
+        {"event_id": 12, "ts": "2024-01-01 00:00:00", "user_id": 2},
+        {"event_id": 13, "ts": "2024-01-01 01:00:00", "user_id": 3},
+    ]
+    purchase_rows = [
+        # joins clicks 10 (14 min back) and 11 (9 min back) for user 1
+        {"event_id": 50, "ts": "2024-01-01 00:14:00", "user_id": 1},
+        # 20 min after user 2's click — outside the 15-min window
+        {"event_id": 51, "ts": "2024-01-01 00:20:00", "user_id": 2},
+        # user 4 has no clicks at all
+        {"event_id": 52, "ts": "2024-01-01 00:10:00", "user_id": 4},
+        # BEFORE user 3's click — must not join (click_ts <= purchase_ts)
+        {"event_id": 53, "ts": "2024-01-01 00:55:00", "user_id": 3},
+    ]
+    with open(clicks / "b0.json", "w") as f:
+        for r in click_rows:
+            f.write(json.dumps(r) + "\n")
+    with open(purchases / "b0.json", "w") as f:
+        for r in purchase_rows:
+            f.write(json.dumps(r) + "\n")
+    return str(clicks), str(purchases)
+
+
+def _read_user_stream(spark, path):
+    return (
+        spark.readStream.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(path)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_stream_stream_attribution_join(spark, two_stream_dirs, tmp_path):
+    from nzgmdb_spark.streaming.events import attribution_join
+
+    clicks_dir, purchases_dir = two_stream_dirs
+    joined = attribution_join(
+        _read_user_stream(spark, clicks_dir),
+        _read_user_stream(spark, purchases_dir),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM attr_out").collect()
+    pairs = sorted((r.click_id, r.purchase_id) for r in out)
+    assert pairs == [(10, 50), (11, 50)]
+
+    # Batch twin: the same operator applied to static frames must agree.
+    cb = (
+        spark.read.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(clicks_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    pb = (
+        spark.read.schema("event_id LONG, ts STRING, user_id LONG")
+        .json(purchases_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    batch = attribution_join(cb, pb)
+    bpairs = sorted((r.click_id, r.purchase_id) for r in batch.collect())
+    assert bpairs == pairs
