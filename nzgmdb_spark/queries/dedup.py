@@ -827,3 +827,137 @@ def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- Incremental minhash dedup: a NEW batch of documents deduped against
+# the EXISTING corpus (the production shape: signatures of the corpus are
+# a persisted index table; each scrape batch hashes only itself, band-joins
+# against the index, and never re-touches corpus text except for the
+# candidate verify). New batch = doc_id % 5 == 0 (a fifth of the corpus),
+# existing = the rest; candidates are new×existing only — new×new pairs
+# are the NEXT batch's intra-batch dedup, not this query's.
+
+INCR_MINHASH_SQL = f"""
+WITH {SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_minhash_cols_sql()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+         {_band_cols_sql()}
+  FROM sigs
+),
+band_rows AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_idx, band{j} AS band_hash FROM bands" for j in range(_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+  FROM band_rows a
+  JOIN band_rows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_doc, c.corpus_doc, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.new_doc
+  JOIN sh sb ON sb.doc_id = c.corpus_doc AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT i.new_doc, i.corpus_doc,
+       CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.new_doc
+JOIN counts cb ON cb.doc_id = i.corpus_doc
+WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.5
+"""
+
+
+@register("dedup_incremental_minhash", sql=INCR_MINHASH_SQL, survey=["J13", "A1"])
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus minhash dedup — the incremental-ingest shape.
+
+    At 100 TB: the corpus band table is a PERSISTED index (built once,
+    appended per batch); the new batch's band rows are a small relation
+    that broadcast- or shuffle-hash-joins against it, so per-batch cost
+    scales with the batch, not the corpus. Candidate verify re-reads
+    shingles only for matched pairs. This registered query derives both
+    sides from the documents table to stay self-contained; the index-side
+    plan is identical.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    docs_g = toks.select("doc_id", _grams().alias("g"))
+    base_of = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(s.cast("binary")), 1, 13), 16, 10
+    ).cast("bigint")
+    hashed = docs_g.select(
+        "doc_id",
+        F.transform("g", base_of).alias("hs"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def _affine_min(k: int):
+        a, b = _A[k], _B[k]
+        return F.array_min(
+            F.transform("hs", lambda h: F.pmod(a * h + b, F.lit(_MOD)))
+        ).alias(f"h{k}")
+
+    sigs = hashed.select("doc_id", *[_affine_min(k) for k in range(_N_HASH)])
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"h{2 * j}").cast("string"),
+                            F.col(f"h{2 * j + 1}").cast("string"),
+                        ).alias("band_hash"),
+                    )
+                    for j in range(_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    new_bands = band_rows.filter(F.col("doc_id") % 5 == 0)
+    corpus_bands = band_rows.filter(F.col("doc_id") % 5 != 0)
+    cand = (
+        new_bands.alias("a")
+        .join(
+            corpus_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    ga = docs_g.select(F.col("doc_id").alias("new_doc"), F.col("g").alias("ga"))
+    gb = docs_g.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("g").alias("gb")
+    )
+    verified = (
+        cand.join(ga, "new_doc")
+        .join(gb, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.size(F.array_intersect("ga", "gb")).alias("n_common"),
+            F.size("ga").alias("na"),
+            F.size("gb").alias("nb"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") > 0.5)
+        .select("new_doc", "corpus_doc", "jaccard")
+    )

@@ -287,3 +287,46 @@ def s_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: the ANALYZE pass a warehouse runs over a new data drop.
+# One scan computes every column's stats (operators/profile.py); the HLL
+# sketch is asserted within 5% of the exact distinct count (deterministic
+# for fixed input — same contract as queries/sketches.py).
+
+_PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+def _profile_col_sql(c: str, is_num: bool) -> str:
+    minmax = (
+        f"CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num, "
+        "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        if is_num
+        else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+        f"min({c}) AS min_str, max({c}) AS max_str"
+    )
+    return f"""
+  SELECT '{c}' AS column, count(*) AS n_rows,
+         sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         count(DISTINCT {c}) AS n_distinct, {minmax},
+         TRUE AS approx_within_bound
+  FROM orders"""
+
+
+TABLE_PROFILE_SQL = " UNION ALL ".join(
+    [_profile_col_sql(c, True) for c in _PROFILE_NUM]
+    + [_profile_col_sql(c, False) for c in _PROFILE_STR]
+)
+
+
+@register("a_table_profile", sql=TABLE_PROFILE_SQL, survey=["A2", "A5"])
+def a_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.profile import profile_table
+
+    return profile_table(
+        tbl(spark, sf_dir, "orders"),
+        numeric_cols=_PROFILE_NUM,
+        string_cols=_PROFILE_STR,
+    )

@@ -96,3 +96,27 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # bit pairs (y_i x_i) from high to low: (0,1) (1,0) (1,1) = 0b011011.
     row = spark.range(1).select(zvalue(F.lit(5), F.lit(3), bits=3)).collect()
     assert row[0][0] == 0b011011
+
+
+def test_profile_table_counts_nulls_single_scan(spark):
+    from nzgmdb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "b"), (2, "a")],
+        "x int, s string",
+    )
+    prof = profile_table(df, numeric_cols=["x"], string_cols=["s"])
+    rows = {r.column: r for r in prof.collect()}
+    assert rows["x"].n_rows == 4
+    assert rows["x"].n_nulls == 1
+    assert rows["x"].n_distinct == 2
+    assert rows["x"].min_num == 1.0 and rows["x"].max_num == 2.0
+    assert rows["x"].min_str is None
+    assert rows["s"].n_nulls == 1
+    assert rows["s"].n_distinct == 2
+    assert rows["s"].min_str == "a" and rows["s"].max_str == "b"
+    assert rows["s"].min_num is None
+    # single scan: exactly one parquet-free LocalTableScan feeding one
+    # aggregate tree — no self-join of per-column subqueries
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
