@@ -177,3 +177,64 @@ def radius_join(
         .withColumn("dist_km", d)
         .filter(F.col("dist_km") <= r)
     )
+
+
+def gridded_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Radius join for TWO LARGE point sets: grid-cell bucketing makes it a
+    hash equi-join instead of the cross join ``radius_join`` (rightly)
+    uses for a broadcast-small station inventory.
+
+    Each left point explodes into its own lat/lon cell plus the 8
+    neighbors; right points are keyed by their own cell; the join is pure
+    equi on (cell_lat, cell_lon) with the exact haversine as a residual.
+    Any pair within ``radius_km`` falls in adjacent cells provided
+    ``cell_deg`` degrees spans ≥ radius_km in both axes at the data's
+    latitudes (lon degrees shrink by cos(lat) — size the cell for the
+    highest |lat| present). Each right point owns exactly one cell, so no
+    pair can duplicate. Work scales with co-cell pair density — the 2-D
+    analog of interval_overlap_join's time buckets.
+    """
+    from nzgmdb_spark.functions import haversine_km
+
+    ls = [F.col(c).alias(c + suffixes[0]) for c in left.columns]
+    rs = [F.col(c).alias(c + suffixes[1]) for c in right.columns]
+    lat_l, lon_l = "lat" + suffixes[0], "lon" + suffixes[0]
+    lat_r, lon_r = "lat" + suffixes[1], "lon" + suffixes[1]
+    cell = F.lit(float(cell_deg))
+    nb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("nb")
+    lb = (
+        left.select(*ls)
+        .select("*", nb)
+        .select(
+            "*",
+            (F.floor(F.col(lat_l) / cell) + F.col("nb.dy")).alias("_cy"),
+            (F.floor(F.col(lon_l) / cell) + F.col("nb.dx")).alias("_cx"),
+        )
+        .drop("nb")
+    )
+    rb = right.select(*rs).select(
+        "*",
+        F.floor(F.col(lat_r) / cell).alias("_cy"),
+        F.floor(F.col(lon_r) / cell).alias("_cx"),
+    )
+    d = haversine_km(F.col(lat_l), F.col(lon_l), F.col(lat_r), F.col(lon_r))
+    return (
+        lb.join(rb, ["_cy", "_cx"])
+        .withColumn("dist_km", d)
+        .filter(F.col("dist_km") <= F.lit(float(radius_km)))
+        .drop("_cy", "_cx")
+    )

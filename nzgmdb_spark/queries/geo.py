@@ -297,3 +297,61 @@ FROM nearest
 def k16_ngasub_tectclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("k16_events_src")
     return spark.sql(_k16_sql("spark", source="k16_events_src"))
+
+
+# --- J14 at both-sides-large scale: grid-cell bucketed radius join. The
+# broadcast radius_join above is right for a station inventory; when BOTH
+# point sets scale with the data (every click event vs every purchase
+# event here), bucketing by 1° cells turns the cross join into a hash
+# equi-join on the cell id with the exact haversine as residual — work
+# scales with co-cell density, never |L|·|R|. The oracle IS the naive
+# cross-join filter, proving the bucketing result-identical.
+
+_GRJ_RADIUS = 50.0
+_GRJ_CELL = 1.0  # ≥ 50 km in lon at |lat| ≤ 48° (1° lon ≈ 74 km there)
+
+J14G_SQL = f"""
+WITH pts AS (
+    SELECT event_id, event_type, {_LAT} AS lat, {_LON} AS lon FROM events
+),
+l AS (SELECT event_id, lat, lon FROM pts WHERE event_type = 'click'),
+r AS (SELECT event_id, lat, lon FROM pts WHERE event_type = 'purchase'),
+pairs AS (
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           2.0 * 6371.0088 * ASIN(SQRT(
+               POW(SIN(RADIANS(r.lat - l.lat) / 2), 2)
+               + COS(RADIANS(l.lat)) * COS(RADIANS(r.lat))
+                 * POW(SIN(RADIANS(r.lon - l.lon) / 2), 2)
+           )) AS dist_km
+    FROM l CROSS JOIN r
+)
+SELECT click_id, purchase_id,
+       FLOOR(dist_km * 1000.0 + 0.5) / 1000.0 AS dist_km_r
+FROM pairs WHERE dist_km <= {_GRJ_RADIUS}
+"""
+
+
+@register("j14_radius_join_gridded", sql=J14G_SQL, survey=["J14", "F12"])
+def j14_radius_join_gridded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.geo import gridded_radius_join
+
+    e = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr(_LAT).alias("lat"),
+        F.expr(_LON).alias("lon"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "lat", "lon"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "lat", "lon"
+    )
+    pairs = gridded_radius_join(
+        clicks, purchases, radius_km=_GRJ_RADIUS, cell_deg=_GRJ_CELL
+    )
+    return pairs.select(
+        F.col("event_id_l").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        pround(F.col("dist_km"), 3).alias("dist_km_r"),
+    )

@@ -67,3 +67,47 @@ def test_k16_ngasub_branch_coverage(spark):
     assert (shallow["tect_class"] == "Crustal").all()
     assert (deep["tect_class"] == "Slab").all()
     assert (mid["tect_class"] == "Undetermined").all()
+
+
+def test_gridded_radius_join_matches_naive(spark):
+    # Randomized-but-deterministic points across the cell lattice,
+    # radius chosen just under the cell span so boundary pairs cross
+    # cell edges; the gridded join must emit exactly the naive pair set.
+    import math
+
+    from nzgmdb_spark.operators.geo import gridded_radius_join
+
+    pts = [
+        (
+            i,
+            -48.0 + (i * 37 % 300) / 100.0,
+            166.0 + (i * 113 % 280) / 90.0,
+        )
+        for i in range(300)
+    ]
+    left = [p for p in pts if p[0] % 2 == 0]
+    right = [p for p in pts if p[0] % 2 == 1]
+
+    def hav(a, b):
+        r = 6371.0088
+        p1, p2 = math.radians(a[1]), math.radians(b[1])
+        dp = math.radians(b[1] - a[1])
+        dl = math.radians(b[2] - a[2])
+        x = (
+            math.sin(dp / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * r * math.asin(math.sqrt(x))
+
+    expected = {
+        (a[0], b[0]) for a in left for b in right if hav(a, b) <= 70.0
+    }
+    ldf = spark.createDataFrame(left, "id long, lat double, lon double")
+    rdf = spark.createDataFrame(right, "id long, lat double, lon double")
+    got = {
+        (r.id_l, r.id_r)
+        for r in gridded_radius_join(ldf, rdf, radius_km=70.0, cell_deg=1.0)
+        .select("id_l", "id_r")
+        .collect()
+    }
+    assert got == expected and len(expected) > 0

@@ -351,3 +351,11 @@ def test_curation_plan_shapes(spark):
     plan = plan_of(spark, "text_repetition_signals")
     assert "Window" not in plan
     assert "partial" in plan.lower()
+
+
+def test_gridded_radius_join_is_equi(spark):
+    # Both-sides-large spatial join must be a hash equi-join on the grid
+    # cell, never a cartesian/broadcast-nested-loop over the point sets.
+    plan = plan_of(spark, "j14_radius_join_gridded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
