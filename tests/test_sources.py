@@ -260,3 +260,48 @@ def test_mseed_decoder_through_spark_path(spark, tmp_path):
         for col, x in comp.items():
             got = np.asarray(getattr(row, col))
             assert np.array_equal(got, x.astype(np.float64)), (rec, col)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from nzgmdb_spark.sources.files import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    # 64 tiny files — the streaming-sink pathology.
+    spark.range(0, 10_000).repartition(64).write.parquet(path)
+    before_rows = sorted(
+        r.id for r in spark.read.parquet(path).collect()
+    )
+    n_before, n_after = compact_parquet(
+        spark, path, target_file_bytes=1 << 30
+    )
+    assert n_before == 64
+    assert n_after == 1
+    after_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+
+
+def test_read_with_evolution_normalizes_drops(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nzgmdb_spark.sources.files import read_with_evolution
+
+    path = str(tmp_path / "evolving")
+    # Drop 1: (id, v) — the original producer.
+    spark.range(0, 5).select("id", (F.col("id") * 2).alias("v")).write.parquet(
+        path + "/drop1"
+    )
+    # Drop 2: (id, v, tag) — a later producer added a column.
+    spark.range(5, 10).select(
+        "id",
+        (F.col("id") * 3).alias("v"),
+        F.lit("new").alias("tag"),
+    ).write.parquet(path + "/drop2")
+    out = read_with_evolution(
+        spark, path + "/*", "id long, v double, tag string, extra int"
+    )
+    assert out.columns == ["id", "v", "tag", "extra"]
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 10
+    assert rows[2].v == 4.0 and rows[2].tag is None  # drop1: no tag column
+    assert rows[7].v == 21.0 and rows[7].tag == "new"
+    assert all(r.extra is None for r in rows.values())  # nowhere present
