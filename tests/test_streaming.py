@@ -360,3 +360,56 @@ def test_stream_stream_attribution_join(spark, two_stream_dirs, tmp_path):
     batch = attribution_join(cb, pb)
     bpairs = sorted((r.click_id, r.purchase_id) for r in batch.collect())
     assert bpairs == pairs
+
+
+def test_incremental_dedup_sink_across_batches(spark, tmp_path):
+    from nzgmdb_spark.streaming.events import incremental_dedup_sink
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    index_path = str(tmp_path / "seen_index")
+    out_path = str(tmp_path / "corpus")
+
+    def run_drop(filename, rows):
+        with open(src / filename, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .json(str(src))
+            .withColumn("content_hash", F.md5(F.col("text").cast("binary")))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_dedup_sink(stream, index_path, out_path)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_drop(
+        "drop1.json",
+        [
+            {"doc_id": 1, "text": "alpha beta"},
+            {"doc_id": 2, "text": "gamma delta"},
+            {"doc_id": 3, "text": "alpha beta"},  # intra-batch dup
+        ],
+    )
+    out1 = spark.read.parquet(out_path).collect()
+    assert len(out1) == 2  # intra-batch dup collapsed
+
+    run_drop(
+        "drop2.json",
+        [
+            {"doc_id": 4, "text": "alpha beta"},  # seen in drop1 → filtered
+            {"doc_id": 5, "text": "epsilon zeta"},  # novel
+        ],
+    )
+    out2 = spark.read.parquet(out_path).collect()
+    texts = sorted(r.text for r in out2)
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    # The index holds exactly one key per ever-seen document.
+    idx = spark.read.parquet(index_path).collect()
+    assert len(idx) == 3
