@@ -227,3 +227,136 @@ def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("domain_rank") <= _DOMAIN_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram: per-type value distribution in one aggregation pass.
+# Bin edges are constants, so binning is map-side arithmetic and the
+# whole histogram is a single partial-aggregated groupBy — the only
+# shape that profiles a 100 TB measure column without a sort. floor on
+# doubles is exact for these magnitudes; the overflow bin is clamped.
+
+_HIST_LO = 0.0
+_HIST_W = 25.0
+_HIST_N = 20
+
+HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(LEAST(floor((value - {_HIST_LO}) / {_HIST_W}), {_HIST_N - 1})
+            AS BIGINT) AS bin,
+       count(*) AS n,
+       floor(min(value) * 1000000.0 + 0.5) / 1000000.0 AS bin_min,
+       floor(max(value) * 1000000.0 + 0.5) / 1000000.0 AS bin_max
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("a_histogram_buckets", sql=HISTOGRAM_SQL, survey=["A2", "A8"])
+def a_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(_HIST_W)),
+        F.lit(_HIST_N - 1),
+    ).cast("bigint")
+    return e.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.min("value"), 6).alias("bin_min"),
+        pround(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF search ranking: a fixed term set scored against the corpus — the
+# retrieval half of a mini search engine. The term filter lands BEFORE any
+# aggregation (at scale: a posting-list read for 3 terms, never a corpus
+# scan per query), document frequencies come from the same filtered
+# explode, and the per-document score adds the (≤3) term weights in FIXED
+# written order so both engines produce bit-identical doubles.
+
+_SEARCH_TERMS = ("spark", "window", "vector")
+
+_TERM_W_SQL = ", ".join(
+    f"max(CASE WHEN tok = '{t}' THEN tfidf END) AS w{i}"
+    for i, t in enumerate(_SEARCH_TERMS)
+)
+
+SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+hits AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM toks WHERE tok IN {str(tuple(_SEARCH_TERMS))}
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM hits GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT h.doc_id, h.tok,
+         h.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS tfidf
+  FROM hits h JOIN df d ON d.tok = h.tok CROSS JOIN n
+),
+per_doc AS (
+  SELECT doc_id, {_TERM_W_SQL} FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       floor((COALESCE(w0, 0.0) + COALESCE(w1, 0.0) + COALESCE(w2, 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS score,
+       row_number() OVER (
+         ORDER BY COALESCE(w0, 0.0) + COALESCE(w1, 0.0) + COALESCE(w2, 0.0)
+                  DESC, doc_id
+       ) AS rank
+FROM per_doc
+QUALIFY rank <= 10
+"""
+
+
+@register("text_search_topk", sql=SEARCH_SQL, survey=["O3", "A2", "F1"])
+def text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hits = (
+        toks.filter(F.col("tok").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df over the already-filtered hits: each (doc, tok) row is distinct.
+    dfreq = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("tfidf"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("tok") == t, F.col("tfidf"))
+            ).alias(f"w{i}")
+            for i, t in enumerate(_SEARCH_TERMS)
+        ]
+    )
+    total = (
+        F.coalesce(F.col("w0"), F.lit(0.0))
+        + F.coalesce(F.col("w1"), F.lit(0.0))
+        + F.coalesce(F.col("w2"), F.lit(0.0))
+    )
+    w = Window.orderBy(total.desc(), F.col("doc_id"))
+    return (
+        per_doc.select(
+            "doc_id",
+            pround(total, 6).alias("score"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
