@@ -359,3 +359,54 @@ def test_gridded_radius_join_is_equi(spark):
     plan = plan_of(spark, "j14_radius_join_gridded")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Queries whose plans legitimately carry a BroadcastNestedLoopJoin: every
+# entry broadcasts a provably tiny side (a 1-row scalar aggregate, an
+# inline codebook/query set, a bounded station inventory) — the non-equi
+# join is the POINT of the operator, and the streamed side passes once.
+_BNLJ_ALLOWED = {
+    "ann_lsh_hyperplane",  # inline plane table vs corpus (broadcast planes)
+    "j12_interpolation_join",  # broadcast breakpoint table, inequality join
+    "j14_radius_join",  # broadcast station inventory (dim-sized by contract)
+    "k16_ngasub_tectclass",  # broadcast slab grid scalar bounds
+    "k17_preferred_magnitude",  # broadcast 1-row config thresholds
+    "knn_cosine_bruteforce",  # the labeled brute-force baseline
+    "q11_important_share",  # TPC-H: 1-row global-share scalar
+    "q22_dormant_customers",  # TPC-H: 1-row average-balance scalar
+    "text_stratified_sample",  # broadcast per-stratum threshold rows
+    "text_tfidf_top_terms",  # broadcast 1-row corpus-size scalar
+    "embedding_label_stats",  # broadcast 1-row global stats
+    "dedup_cosine_neardup",  # broadcast plane table (band generation)
+    "a_approx_quantile_sketch",  # 1-row exact-vs-sketch bound row
+    "ann_ivf_cosine",  # broadcast 16-row codebook fan-out
+    "k9_k10_fetch_window",  # broadcast 1-row model constants
+    "q15_top_supplier",  # TPC-H: 1-row max-revenue scalar
+    "q20_share_threshold",  # TPC-H: 1-row share threshold
+    "text_search_topk",  # broadcast 1-row corpus-size scalar
+}
+
+
+def test_registry_wide_join_hygiene(spark):
+    # Every registered query's initial physical plan: no CartesianProduct
+    # anywhere, ever; BroadcastNestedLoopJoin only where a tiny broadcast
+    # side is the declared design. A new query that accidentally plans a
+    # cartesian (missing join key, non-equi predicate on two big sides)
+    # fails here by name instead of melting the benchmark.
+    reg = load_registry()
+    offenders_cart = []
+    offenders_bnlj = []
+    for name, spec in sorted(reg.items()):
+        try:
+            plan = spec.fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # staging-dependent queries are covered by their own tests
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders_bnlj.append(name)
+    assert not offenders_cart, f"cartesian products: {offenders_cart}"
+    assert not offenders_bnlj, (
+        f"unexpected nested-loop joins (add to allowlist ONLY with a tiny "
+        f"broadcast side): {offenders_bnlj}"
+    )
