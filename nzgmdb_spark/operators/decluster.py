@@ -213,9 +213,12 @@ def decluster(
     ]
     a_flags, c_flags = decluster_catalog(events, crjb_cutoff_km)
     spark = events_df.sparkSession
+    # Explicit schema: an empty catalog (or an all-None column) must build
+    # a typed empty relation, not crash schema inference.
+    evid_dt = events_df.schema["evid"].dataType.simpleString()
     flags = spark.createDataFrame(
         [(e["evid"], int(a), int(c)) for e, a, c in zip(events, a_flags, c_flags)],
-        ["evid", "aftershock_flag", "cluster_flag"],
+        schema=f"evid {evid_dt}, aftershock_flag int, cluster_flag int",
     )
     return events_df.join(F.broadcast(flags), "evid", "left")
 

@@ -156,9 +156,13 @@ def s14_partitioned_sink_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = tbl(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    # First call writes; every later call is a no-op resume.
+    # First call writes; every later call is a no-op resume. The explicit
+    # read schema keeps the query running when the staged dataset is
+    # EMPTY (a zero-row write publishes only _SUCCESS — nothing to infer).
     write_partitioned_idempotent(events, path, ["event_type"])
-    back = read_partitioned(spark, path)
+    back = read_partitioned(
+        spark, path, schema="event_id bigint, value double, event_type string"
+    )
     return (
         back.filter(F.col("event_type").isin("click", "view"))
         .groupBy("event_type")

@@ -65,13 +65,21 @@ def write_partitioned_idempotent(
 
 
 def read_partitioned(
-    spark: SparkSession, path: str, fmt: str = "parquet"
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None
 ) -> DataFrame:
     """Read a partitioned dataset back; partition columns are recovered
     from the directory layout, and filters on them become partition pruning
     (no file of a pruned partition is even opened).
+
+    Pass ``schema`` (data columns + partition columns) when the dataset
+    may be EMPTY: a zero-row partitioned write publishes only _SUCCESS, so
+    there is no footer to infer from and an explicit schema is the only
+    way to keep downstream code running on the empty relation.
     """
-    return spark.read.format(fmt).load(path)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
 
 
 def compact_parquet(
