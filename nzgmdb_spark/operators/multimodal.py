@@ -213,3 +213,51 @@ def media_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(
         run, schema="media_id bigint, kind string, feature array<double>"
     )
+
+
+def audio_window_energy(
+    media: DataFrame, win: int = 32, stride: int = 16
+) -> DataFrame:
+    """Sliding-window audio features over the binary audio column: per
+    full window of ``win`` samples (hop ``stride``), the integer sample
+    energy (sum of squares) and mean amplitude — the frame-level feature
+    grid every audio-pretraining pipeline computes before any model.
+
+    Same plumbing contract as the other media stages: Arrow-batched
+    mapInPandas, shuffle-free, one output row per (media, window); the
+    decode is the pluggable seam — the synthetic AUD0 container here, a
+    real codec (soundfile/ffmpeg) in production. Integer arithmetic keeps
+    the features exactly reproducible by the SQL oracle.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for media_id, kind, blob in zip(b["media_id"], b["kind"], b["content"]):
+                if kind != "audio":
+                    continue
+                meta = _decode_header(kind, bytes(blob))
+                n = meta["n_samples"]
+                samples = np.frombuffer(
+                    bytes(blob)[12 : 12 + n], dtype=np.uint8
+                ).astype(np.int64)
+                for w_idx in range((n - win) // stride + 1):
+                    seg = samples[w_idx * stride : w_idx * stride + win]
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "window_idx": w_idx,
+                            "energy": int(np.sum(seg * seg)),
+                            "mean_amp": float(np.sum(seg)) / win,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "energy", "mean_amp"],
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_id long, window_idx int, energy long, mean_amp double",
+    )

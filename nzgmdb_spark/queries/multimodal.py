@@ -175,3 +175,39 @@ def m4_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", F.posexplode("feature").alias("bin", "val")
     )
+
+
+# --- m5: sliding-window audio features. The AUD0 sample series is pure
+# integer arithmetic on (media_id, sample index), so DuckDB rebuilds every
+# 32-sample window's energy (sum of squares, BIGINT — no float order
+# anywhere) and mean analytically: the frame-feature grid is value-hash
+# checked end to end through the binary decode path.
+
+M5_SQL = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+aud AS (
+  SELECT media_id, 64 + (media_id * 13) % 192 AS n FROM ids
+),
+wins AS (
+  SELECT media_id, n, g.w AS window_idx
+  FROM aud, UNNEST(generate_series(0, (n - 32) // 16)) AS g(w)
+),
+samp AS (
+  SELECT w.media_id, w.window_idx, (i + w.media_id) % 256 AS s
+  FROM wins w,
+       UNNEST(generate_series(w.window_idx * 16 * 3,
+                              (w.window_idx * 16 + 31) * 3, 3)) AS gs(i)
+)
+SELECT media_id, window_idx,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(sum(s) AS DOUBLE) / 32 AS mean_amp
+FROM samp
+GROUP BY media_id, window_idx
+"""
+
+
+@register("m5_audio_window_energy", sql=M5_SQL, survey=["F11", "K4"])
+def m5_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.multimodal import audio_window_energy
+
+    return audio_window_energy(_media(spark, sf_dir), win=32, stride=16)
