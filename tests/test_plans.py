@@ -410,3 +410,12 @@ def test_registry_wide_join_hygiene(spark):
         f"unexpected nested-loop joins (add to allowlist ONLY with a tiny "
         f"broadcast side): {offenders_bnlj}"
     )
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    # Every ORDER BY + LIMIT query must plan as TakeOrderedAndProject
+    # (per-partition heap + driver merge of k rows) — a global sort for a
+    # top-k is a full-shuffle of the dataset to retrieve k rows.
+    for q in ("o2_topk_desc", "q3_shipping_priority", "text_top_tokens"):
+        plan = plan_of(spark, q)
+        assert "TakeOrderedAndProject" in plan, f"{q} lost TakeOrdered"

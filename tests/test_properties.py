@@ -222,3 +222,55 @@ def test_interval_overlap_join_matches_naive(spark, left, right, width):
         .collect()
     }
     assert got == expected
+
+
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_never_underestimates(spark, tokens):
+    # The Count-Min guarantee on arbitrary corpora: for every token, the
+    # sketch estimate (min over d row counters) >= the exact count.
+    from collections import Counter
+
+    from nzgmdb_spark.queries.scale_ops import _CMS_D, _CMS_W, _bucket_spark
+
+    exact = Counter(tokens)
+    df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
+    bucket = None
+    for i in range(_CMS_D):
+        b = _bucket_spark(i)
+        bucket = (
+            F.when(F.col("r") == i, b)
+            if bucket is None
+            else bucket.when(F.col("r") == i, b)
+        )
+    counters = {
+        (r.r, r.bucket): r.c
+        for r in df.select("tok", rows)
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    probes = (
+        spark.createDataFrame([(t,) for t in exact], "tok string")
+        .select("tok", rows)
+        .select("tok", "r", bucket.alias("bucket"))
+        .collect()
+    )
+    est: dict = {}
+    for p in probes:
+        c = counters[(p.r, p.bucket)]
+        est[p.tok] = min(est.get(p.tok, c), c)
+    for tok, n in exact.items():
+        assert est[tok] >= n, f"CMS underestimated {tok!r}: {est[tok]} < {n}"
