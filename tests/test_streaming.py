@@ -413,3 +413,43 @@ def test_incremental_dedup_sink_across_batches(spark, tmp_path):
     # The index holds exactly one key per ever-seen document.
     idx = spark.read.parquet(index_path).collect()
     assert len(idx) == 3
+
+
+def test_incremental_rollup_mv_maintenance(spark, tmp_path):
+    from decimal import Decimal
+
+    from nzgmdb_spark.streaming.events import incremental_rollup_sink
+
+    mv_path = str(tmp_path / "rollup_mv")
+    sink = incremental_rollup_sink(mv_path)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "event_type string, value double")
+
+    b0 = batch([("click", 1.5), ("click", 2.5), ("view", 10.0)])
+    b1 = batch([("click", 4.0), ("purchase", 7.25)])
+    sink(b0, 0)
+    sink(b1, 1)
+    mv = {r.event_type: r for r in spark.read.parquet(mv_path).collect()}
+    assert mv["click"].n == 3 and mv["click"].s == Decimal("8.000000")
+    assert mv["view"].n == 1 and mv["view"].s == Decimal("10.000000")
+    assert mv["purchase"].n == 1
+
+    # At-least-once redelivery: replaying batch 1 must be a no-op.
+    sink(b1, 1)
+    mv2 = {r.event_type: r for r in spark.read.parquet(mv_path).collect()}
+    assert mv2["click"].n == 3 and mv2["purchase"].n == 1
+
+    # And the MV equals the from-scratch aggregate of everything seen.
+    full = b0.unionByName(b1)
+    want = {
+        r.event_type: r
+        for r in full.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+        )
+        .collect()
+    }
+    for k, r in want.items():
+        assert mv2[k].n == r.n and mv2[k].s == r.s
