@@ -993,3 +993,90 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") > 0.5)
         .select("new_doc", "corpus_doc", "jaccard")
     )
+
+
+# --- Capped-Jaccard near-dup: the skew bound for web-scale corpora.
+# A boilerplate shingle ("all rights reserved …") appearing in millions of
+# documents makes its posting list — and the pair expansion over it —
+# quadratic in that list. The cap drops shingles whose document frequency
+# exceeds _SHINGLE_CAP from BOTH the intersection and the per-doc set
+# sizes (classic stop-shingle removal), so no posting list, and therefore
+# no single task, can exceed cap² pair rows — the per-key work bound that
+# lets the plan survive any skew. The oracle applies the identical cap,
+# so the semantics are pinned, not approximated.
+
+_SHINGLE_CAP = 4
+
+JACCARD_CAPPED_SQL = f"""
+WITH {SHINGLES_CTE},
+freq AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+kept AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN freq ON freq.s = sh.s
+  WHERE freq.c <= {_SHINGLE_CAP}
+),
+counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) AS jaccard
+FROM pairs p
+JOIN counts ca ON ca.doc_id = p.doc_a
+JOIN counts cb ON cb.doc_id = p.doc_b
+WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) > 0.5
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped", sql=JACCARD_CAPPED_SQL, survey=["J13", "A2"]
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with the frequent-shingle cap applied.
+
+    Plan: same posting-list shape as dedup_ngram_jaccard, but the posting
+    build happens FIRST, oversized lists are filtered by size (one
+    comparison per shingle — the skew guard is free), per-doc set sizes
+    are recomputed from surviving postings, and pair expansion runs only
+    over lists of 2..cap docs. Work per shingle is bounded by cap²
+    regardless of corpus-wide shingle frequency.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    sh = toks.select(
+        "doc_id", F.explode(_grams()).alias("s")
+    )
+    posting = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= _SHINGLE_CAP)
+    )
+    counts = (
+        posting.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expanded = (
+        posting.filter(F.size("ids") > 1)
+        .select(F.posexplode("ids").alias("i", "a"), F.col("ids"))
+        .select(
+            "a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b"),
+        )
+    )
+    pairs = expanded.groupBy(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+    ).agg(F.count(F.lit(1)).alias("n_common"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") > 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
