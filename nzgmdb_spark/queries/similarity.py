@@ -474,3 +474,186 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# --- MMR diversified retrieval: relevance-ranked top-N candidates
+# re-ranked by Maximal Marginal Relevance (score = λ·rel − (1−λ)·max
+# similarity to anything already picked), k picks. The k-step greedy is
+# UNROLLED into a declarative plan — five argmax branches over a tiny
+# candidate relation, no driver loop, no collect — and the oracle unrolls
+# the identical five steps in SQL, so the whole diversified ranking is
+# value-hash-checked. Every cosine is an exact-decimal dot over the long
+# form; the MMR objective is then fixed-order double arithmetic, so both
+# engines rank identical numbers. At 100 TB only candidate GENERATION
+# (the existing kNN/ANN queries) touches the corpus; this re-rank stage
+# is O(N·k) on a broadcast-size candidate set by construction.
+
+_MMR_QUERY_ID = 0
+_MMR_N_CAND = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+_MMR_BASE_CTE = f"""
+dims AS (
+  SELECT vec_id, g.i AS dim, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+),
+rel AS (
+  SELECT d.vec_id,
+         CAST(sum(CAST(q.v * d.v AS DECIMAL(38,12))) AS DOUBLE)
+           / (nq.nrm * nd.nrm) AS rel
+  FROM dims q
+  JOIN dims d ON q.dim = d.dim AND d.vec_id <> {_MMR_QUERY_ID}
+  JOIN norms nq ON nq.vec_id = {_MMR_QUERY_ID}
+  JOIN norms nd ON nd.vec_id = d.vec_id
+  WHERE q.vec_id = {_MMR_QUERY_ID}
+  GROUP BY d.vec_id, nq.nrm, nd.nrm
+),
+cand AS (
+  SELECT vec_id, rel FROM rel
+  ORDER BY rel DESC, vec_id LIMIT {_MMR_N_CAND}
+),
+sims AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(sum(CAST(da.v * db.v AS DECIMAL(38,12))) AS DOUBLE)
+           / (na.nrm * nb.nrm) AS sim
+  FROM cand a
+  JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN dims da ON da.vec_id = a.vec_id
+  JOIN dims db ON db.vec_id = b.vec_id AND db.dim = da.dim
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+)
+"""
+
+
+def _mmr_step_sql(step: int) -> str:
+    prev = ", ".join(f"(SELECT vec_id FROM sel{j})" for j in range(1, step))
+    return f"""
+sel{step} AS (
+  SELECT c.vec_id,
+         {_MMR_LAMBDA} * c.rel - {1.0 - _MMR_LAMBDA:.1f} * (
+           SELECT max(s.sim) FROM sims s
+           WHERE s.a_id = c.vec_id AND s.b_id IN ({prev})
+         ) AS score
+  FROM cand c WHERE c.vec_id NOT IN ({prev})
+  ORDER BY score DESC, c.vec_id LIMIT 1
+)"""
+
+
+MMR_SQL = (
+    "WITH "
+    + _MMR_BASE_CTE
+    + f""",
+sel1 AS (
+  SELECT vec_id, {_MMR_LAMBDA} * rel AS score FROM cand
+  ORDER BY score DESC, vec_id LIMIT 1
+)"""
+    + ","
+    + ",".join(_mmr_step_sql(i) for i in range(2, _MMR_K + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, "
+        f"floor(score * 1000000.0 + 0.5) / 1000000.0 AS score FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+)
+
+
+@register("mmr_diversified_topk", sql=MMR_SQL, survey=["O3", "J14", "A1"])
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+
+    dims = _dims(spark, sf_dir)
+    norms = _norms(dims)
+    qn = norms.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("nrm").alias("qnrm")
+    )
+    qd = dims.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("dim").alias("qdim"), F.col("v").alias("qv")
+    )
+    rel = (
+        dims.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .join(F.broadcast(qd), F.col("dim") == F.col("qdim"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("qv") * F.col("v")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+        .join(norms, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id", (F.col("dot") / (F.col("qnrm") * F.col("nrm"))).alias("rel")
+        )
+    )
+    cand = rel.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_N_CAND)
+    cand = cand.localCheckpoint()  # tiny; reused by every unrolled step
+    cids = cand.select("vec_id")
+    cd = dims.join(F.broadcast(cids), "vec_id").join(norms, "vec_id")
+    a = cd.select(
+        F.col("vec_id").alias("a_id"),
+        "dim",
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = cd.select(
+        F.col("vec_id").alias("b_id"),
+        "dim",
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    sims = (
+        a.join(b, ["dim"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id", "anrm", "bnrm")
+        .agg(
+            F.sum((F.col("av") * F.col("bv")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("dot") / (F.col("anrm") * F.col("bnrm"))).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    lam = F.lit(_MMR_LAMBDA)
+    one_minus = F.lit(round(1.0 - _MMR_LAMBDA, 1))
+    sel = (
+        cand.select("vec_id", (lam * F.col("rel")).alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(1)
+    )
+    picks = [sel.withColumn("rank", F.lit(1))]
+    for step in range(2, _MMR_K + 1):
+        chosen = picks[0].select("vec_id")
+        for p in picks[1:]:
+            chosen = chosen.unionByName(p.select("vec_id"))
+        maxsim = (
+            sims.join(F.broadcast(chosen.withColumnRenamed("vec_id", "b_id")), "b_id")
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        nxt = (
+            cand.join(chosen, "vec_id", "left_anti")
+            .join(maxsim, cand["vec_id"] == maxsim["a_id"])
+            .select(
+                "vec_id",
+                (lam * F.col("rel") - one_minus * F.col("max_sim")).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        picks.append(nxt.withColumn("rank", F.lit(step)))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("rank", "vec_id", pround(F.col("score"), 6).alias("score"))
