@@ -330,3 +330,87 @@ def a_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=_PROFILE_NUM,
         string_cols=_PROFILE_STR,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-rollup materialized view as a registered query: the events
+# table arrives as two batches (event_id parity split), each folded into
+# the persisted MV by the streaming sink body; the result read back from
+# the MV must hash-match the direct one-shot aggregate — maintenance
+# equals recomputation, which is the MV contract.
+
+MV_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("t_incremental_rollup_mv", sql=MV_ROLLUP_SQL, survey=["T4", "A2"])
+def t_incremental_rollup_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nzgmdb_spark.streaming.events import incremental_rollup_sink
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    mv_path = f"/tmp/nzgmdb_spark_io/{key}/rollup_mv"
+    # Deterministic rebuild per run: MV maintenance is the thing under
+    # test, so fold the two batches fresh every time.
+    for p in (mv_path, mv_path + ".applied_batch", mv_path + "._mv_tmp"):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+    e = tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    sink = incremental_rollup_sink(mv_path)
+    sink(e.filter(F.col("event_id") % 2 == 0), 0)
+    sink(e.filter(F.col("event_id") % 2 == 1), 1)
+    sink(e.filter(F.col("event_id") % 2 == 1), 1)  # replay: must be no-op
+    mv = spark.read.parquet(mv_path)
+    return mv.select(
+        "event_type",
+        F.col("n"),
+        F.col("s").cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction round-trip as a registered query: stage the events table as
+# 32 tiny shards (the streaming-sink pathology), compact to one file, and
+# aggregate the compacted table — hash-identical to aggregating the
+# original, proving compaction is layout-only.
+
+COMPACT_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("s_compact_roundtrip", sql=COMPACT_SQL, survey=["S14", "S10"])
+def s_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nzgmdb_spark.sources.files import compact_parquet
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/nzgmdb_spark_io/{key}/events_fragmented"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            tbl(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        compact_parquet(spark, path, target_file_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
+    )
