@@ -360,3 +360,56 @@ def text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring: the perplexity-filter shape (KenLM-style
+# quality gating, reduced to its unigram core so both engines can rebuild
+# it exactly). The "model" is the corpus's own unigram distribution — one
+# aggregation; scoring is an equi-join of the token stream against the
+# broadcast-size vocabulary and a per-doc mean of ln p(tok). Per-token
+# logs are cast to DECIMAL(38,12) before summation so the per-doc mean is
+# order-independent and hash-identical cross-engine.
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ln(CAST(v.c AS DOUBLE) / total.n) AS DECIMAL(38, 12)) AS lp
+  FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN total
+)
+SELECT doc_id,
+       floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+         AS avg_logprob,
+       count(*) AS n_tokens
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", sql=UNIGRAM_LOGPROB_SQL, survey=["A2", "F9"])
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("c").cast("double") / F.col("n"))
+            .cast("decimal(38,12)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        pround(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -657,3 +657,47 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.select("rank", "vec_id", pround(F.col("score"), 6).alias("score"))
+
+
+# --- One distributed Lloyd (k-means) iteration: every corpus vector joins
+# its IVF cell assignment (the SAME session-cached materialized index the
+# ANN path probes — index reuse, not recompute) and new centroids are the
+# per-cell per-dimension means with exact-decimal sums. This is the ML
+# primitive shape at 100 TB: assignment is a broadcast-codebook map pass,
+# the update one partial-aggregated groupBy over (cell, dim) — no
+# iteration-internal collect; the k×d result is the only driver-visible
+# object. The oracle rebuilds the identical assignment and means.
+
+KMEANS_SQL = f"""
+WITH {_NORMS_CTE},
+{_IVF_CTE}
+SELECT c.cell AS centroid_id, d.dim,
+       floor(CAST(sum(CAST(d.v AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS new_val,
+       count(*) AS cluster_size
+FROM cells c JOIN dims d ON d.vec_id = c.vec_id
+GROUP BY c.cell, d.dim
+"""
+
+
+@register("ml_kmeans_lloyd_step", sql=KMEANS_SQL, survey=["A2", "J15"])
+def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+
+    ranked, _e = _ivf_index(spark, sf_dir)
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c_id").alias("centroid_id")
+    )
+    dims = _dims(spark, sf_dir)
+    return (
+        dims.join(cells, "vec_id")
+        .groupBy("centroid_id", "dim")
+        .agg(
+            pround(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("new_val"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )
