@@ -384,6 +384,7 @@ _BNLJ_ALLOWED = {
     "q15_top_supplier",  # TPC-H: 1-row max-revenue scalar
     "q20_share_threshold",  # TPC-H: 1-row share threshold
     "text_search_topk",  # broadcast 1-row corpus-size scalar
+    "text_unigram_logprob",  # broadcast 1-row token-total scalar
 }
 
 
