@@ -585,7 +585,40 @@ def k11_ccld_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- K1-K6: the waveform signal chain over deterministic synthetic
 # records (generated per event — the mseed-decode output shape), running
 # preprocess → IMs and SNR → fmax through the real mapInPandas stages.
-# Numerics are pinned by tests/test_kernels.py; rows-only here.
+#
+# No longer rows-only: outputs are quantized to a 1e-6 grid and checked
+# against tests/goldens/*.parquet — fixtures computed by tools/gen_goldens.py
+# from INDEPENDENT implementations of the published definitions (mpmath
+# time-domain filtering / exact least squares, longdouble naive DFT), with
+# generation-time guards that no value sits near a rounding boundary. The
+# DuckDB oracle reads the fixture, so a numerical drift in any K1-K6 stage
+# breaks the value-hash. Per-stage tolerances live in tests/test_goldens.py.
+
+
+def synth_record(evid: int) -> dict:
+    """Deterministic per-event synthetic 3-component record (the
+    mseed-decode output shape). Pure function of evid — shared by the
+    registered pipeline queries and tools/gen_goldens.py so the checked-in
+    golden fixtures are generated from the exact same inputs."""
+    rng = np.random.default_rng(int(evid))
+    n, dt = 600, 0.02
+    t = np.arange(n) * dt
+    f0 = 1.0 + (int(evid) % 5)
+    env = np.exp(-t / 4.0)
+    comps = []
+    for _ in range(3):
+        amp = 0.05 + 0.2 * rng.random()
+        phase = 2 * np.pi * rng.random()
+        x = amp * env * np.sin(2 * np.pi * f0 * t + phase)
+        x += 0.001 * rng.standard_normal(n)
+        comps.append(x)
+    return {
+        "record_id": f"ev{int(evid)}_SYN_HN_10",
+        "dt": dt,
+        "acc_000": comps[0].tolist(),
+        "acc_090": comps[1].tolist(),
+        "acc_ver": comps[2].tolist(),
+    }
 
 
 def _synth_waveforms(spark: SparkSession, sf_dir: str, n_records: int = 48) -> DataFrame:
@@ -597,29 +630,7 @@ def _synth_waveforms(spark: SparkSession, sf_dir: str, n_records: int = 48) -> D
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for evid in pdf["event_id"]:
-                rng = np.random.default_rng(int(evid))
-                n, dt = 600, 0.02
-                t = np.arange(n) * dt
-                f0 = 1.0 + (int(evid) % 5)
-                env = np.exp(-t / 4.0)
-                comps = []
-                for _ in range(3):
-                    amp = 0.05 + 0.2 * rng.random()
-                    phase = 2 * np.pi * rng.random()
-                    x = amp * env * np.sin(2 * np.pi * f0 * t + phase)
-                    x += 0.001 * rng.standard_normal(n)
-                    comps.append(x)
-                rows.append(
-                    {
-                        "record_id": f"ev{int(evid)}_SYN_HN_10",
-                        "dt": dt,
-                        "acc_000": comps[0].tolist(),
-                        "acc_090": comps[1].tolist(),
-                        "acc_ver": comps[2].tolist(),
-                    }
-                )
+            rows = [synth_record(int(evid)) for evid in pdf["event_id"]]
             yield pd.DataFrame(
                 rows, columns=["record_id", "dt", "acc_000", "acc_090", "acc_ver"]
             )
@@ -633,7 +644,25 @@ def _synth_waveforms(spark: SparkSession, sf_dir: str, n_records: int = 48) -> D
     )
 
 
-@register("k_signal_ims_pipeline", sql=None, survey=["K1", "K2", "K3", "K6"])
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "goldens",
+)
+
+
+def _q6(col: F.Column) -> F.Column:
+    """floor(v*1e6+0.5)/1e6 — the fixture's exact quantizer (null-safe)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+K_SIGNAL_IMS_SQL = (
+    "SELECT record_id, component, PGA, PGV, CAV, AI, Ds575, Ds595 "
+    f"FROM read_parquet('{_GOLDEN_DIR}/k_signal_ims_expected.parquet')"
+)
+
+
+@register("k_signal_ims_pipeline", sql=K_SIGNAL_IMS_SQL, survey=["K1", "K2", "K3", "K6"])
 def k_signal_ims_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nzgmdb_spark.kernels.spark import ims_for_records, preprocess_records
 
@@ -641,11 +670,19 @@ def k_signal_ims_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     processed = preprocess_records(wf)
     ims = ims_for_records(processed, periods=np.array([0.1, 0.5, 1.0, 3.0]))
     return ims.select(
-        "record_id", "component", "PGA", "PGV", "CAV", "AI", "Ds575", "Ds595"
+        "record_id",
+        "component",
+        *[_q6(F.col(c)).alias(c) for c in ("PGA", "PGV", "CAV", "AI", "Ds575", "Ds595")],
     )
 
 
-@register("k_snr_fmax_pipeline", sql=None, survey=["K4", "K5", "W1", "W2"])
+K_SNR_FMAX_SQL = (
+    "SELECT record_id, fmax_000, fmax_090, fmax_ver "
+    f"FROM read_parquet('{_GOLDEN_DIR}/k_snr_fmax_expected.parquet')"
+)
+
+
+@register("k_snr_fmax_pipeline", sql=K_SNR_FMAX_SQL, survey=["K4", "K5", "W1", "W2"])
 def k_snr_fmax_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nzgmdb_spark.kernels.spark import fmax_from_snr, snr_for_records
 
@@ -654,7 +691,10 @@ def k_snr_fmax_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", F.lit(150).cast("int").alias("p_wave_ix")
     )
     snr = snr_for_records(wf, phase)
-    return fmax_from_snr(snr)
+    return fmax_from_snr(snr).select(
+        "record_id",
+        *[_q6(F.col(c)).alias(c) for c in ("fmax_000", "fmax_090", "fmax_ver")],
+    )
 
 
 # --- The full 13-stage batch DAG (SURVEY §3.1) run hermetically into a
