@@ -566,10 +566,9 @@ sel1 AS (
 )
 
 
-@register("mmr_diversified_topk", sql=MMR_SQL, survey=["O3", "J14", "A1"])
-def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.functions import pround
-
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N candidates by query relevance, carrying (vec_id, rel, nrm,
+    embedding) — everything the greedy kernel needs in one tiny frame."""
     dims = _dims(spark, sf_dir)
     norms = _norms(dims)
     qn = norms.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
@@ -590,11 +589,50 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(norms, "vec_id")
         .crossJoin(F.broadcast(qn))
         .select(
-            "vec_id", (F.col("dot") / (F.col("qnrm") * F.col("nrm"))).alias("rel")
+            "vec_id",
+            (F.col("dot") / (F.col("qnrm") * F.col("nrm"))).alias("rel"),
+            "nrm",
         )
     )
     cand = rel.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_N_CAND)
-    cand = cand.localCheckpoint()  # tiny; reused by every unrolled step
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # candidate side is N rows — broadcast it against the corpus
+    return emb.join(F.broadcast(cand), "vec_id")
+
+
+@register("mmr_diversified_topk", sql=MMR_SQL, survey=["O3", "J14", "A1"])
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR serving path (round-3 re-shape): candidate generation stays
+    declarative (broadcast query join + top-N TakeOrdered), then the greedy
+    re-rank runs as ONE Arrow applyInPandas kernel over the broadcast-size
+    candidate set — plan size constant in k (was 120 BHJ / 40 shuffles at
+    k=5 when unrolled). The unrolled plan survives as mmr_unrolled_plan,
+    equality-tested at several k; the DuckDB oracle is the unrolled k-step
+    CTE chain (MMR_SQL), bit-identical because the kernel reproduces
+    DECIMAL(38,12) dot-product semantics exactly."""
+    from nzgmdb_spark.functions import pround
+    from nzgmdb_spark.operators.mmr import mmr_rerank
+
+    cand = _mmr_candidates(spark, sf_dir)
+    out = mmr_rerank(cand, k=_MMR_K, lam=_MMR_LAMBDA)
+    return out.select("rank", "vec_id", pround(F.col("score"), 6).alias("score"))
+
+
+def mmr_unrolled_plan(
+    spark: SparkSession, sf_dir: str, k: int = _MMR_K
+) -> DataFrame:
+    """The round-2 unrolled-plan formulation, kept as the kernel's
+    cross-checkable twin (NOT registered; plan size grows linearly in k —
+    the reason it was retired from serving)."""
+    from nzgmdb_spark.functions import pround
+
+    cand = (
+        _mmr_candidates(spark, sf_dir)
+        .select("vec_id", "rel", "nrm")
+        .localCheckpoint()  # tiny; reused by every unrolled step
+    )
+    dims = _dims(spark, sf_dir)
+    norms = _norms(dims)
     cids = cand.select("vec_id")
     cd = dims.join(F.broadcast(cids), "vec_id").join(norms, "vec_id")
     a = cd.select(
@@ -633,7 +671,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
     )
     picks = [sel.withColumn("rank", F.lit(1))]
-    for step in range(2, _MMR_K + 1):
+    for step in range(2, k + 1):
         chosen = picks[0].select("vec_id")
         for p in picks[1:]:
             chosen = chosen.unionByName(p.select("vec_id"))

@@ -274,3 +274,34 @@ def test_cms_never_underestimates(spark, tokens):
         est[p.tok] = min(est.get(p.tok, c), c)
     for tok, n in exact.items():
         assert est[tok] >= n, f"CMS underestimated {tok!r}: {est[tok]} < {n}"
+
+
+@pytest.mark.parametrize("k", [1, 3, 5, 8])
+def test_mmr_kernel_equals_unrolled_plan(spark, k):
+    """The single-stage applyInPandas MMR kernel must select the SAME items
+    with the SAME scores as the retired unrolled-plan formulation at every
+    k — including ties (broken by vec_id) and the DECIMAL(38,12) pairwise
+    dot-product semantics, which the kernel reproduces exactly."""
+    from nzgmdb_spark.functions import pround
+    from nzgmdb_spark.operators.mmr import mmr_rerank
+    from nzgmdb_spark.queries.similarity import (
+        _MMR_LAMBDA,
+        _mmr_candidates,
+        mmr_unrolled_plan,
+    )
+    from tests.conftest import SF_SMALL
+
+    kernel = (
+        mmr_rerank(_mmr_candidates(spark, SF_SMALL), k=k, lam=_MMR_LAMBDA)
+        .select("rank", "vec_id", pround(F.col("score"), 6).alias("score"))
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    unrolled = (
+        mmr_unrolled_plan(spark, SF_SMALL, k=k)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert kernel.equals(unrolled.astype(kernel.dtypes.to_dict()))
