@@ -140,15 +140,21 @@ def _piecewise_inv_cdf(p: list[float], u: str) -> str:
     return "(CASE " + " ".join(cases) + f" ELSE 1.0 END)"
 
 
-def _model_case(alloc_key: str) -> str:
-    """Relation name for each sim index given the event's tectonic type."""
+def _model_case(alloc_key: str, n_sims: int = N_SIMS) -> str:
+    """Relation name for each sim index given the event's tectonic type.
+    Allocation counts are published per-type proportions at the N_SIMS=25
+    base; any multiple of 25 (the reference default 1000 = 25*40,
+    distances.py:175-181) scales them exactly."""
+    if n_sims % 25:
+        raise ValueError(f"n_sims must be a multiple of 25, got {n_sims}")
+    scale = n_sims // 25
     branches = []
     for etype, alloc in _ALLOC.items():
         lo = 0
         segs = []
         for model, n in alloc:
-            segs.append(f"WHEN sim < {lo + n} THEN '{model}'")
-            lo += n
+            segs.append(f"WHEN sim < {lo + n * scale} THEN '{model}'")
+            lo += n * scale
         branches.append(
             f"WHEN {alloc_key} = '{etype}' THEN (CASE " + " ".join(segs) + " END)"
         )
@@ -276,6 +282,7 @@ def ccld_simulations_sql(
     dialect: str,
     source: str = "events",
     n_events: int = 200,
+    n_sims: int = N_SIMS,
     mag_expr: str | None = None,
     lat_expr: str | None = None,
     lon_expr: str | None = None,
@@ -298,9 +305,9 @@ def ccld_simulations_sql(
     us = lambda tag: _u(dialect, sim_parts, tag)  # noqa: E731
 
     if dialect == "spark":
-        expand = f"SELECT ev.*, sim FROM ev LATERAL VIEW explode(sequence(0, {N_SIMS - 1})) t AS sim"
+        expand = f"SELECT ev.*, sim FROM ev LATERAL VIEW explode(sequence(0, {n_sims - 1})) t AS sim"
     else:
-        expand = f"SELECT ev.*, g.sim FROM ev, UNNEST(generate_series(0, {N_SIMS - 1})) AS g(sim)"
+        expand = f"SELECT ev.*, g.sim FROM ev, UNNEST(generate_series(0, {n_sims - 1})) AS g(sim)"
 
     r6 = lambda x: _R6.format(x=x)  # noqa: E731
 
@@ -445,7 +452,7 @@ attrs AS (
   SELECT attrs0.*,
          least(dip_raw, {_DIP_MAX}) AS dip,
          {_MECH_FROM_RAKE} AS mechanism,
-         {_model_case("eq_type")} AS model
+         {_model_case("eq_type", n_sims)} AS model
   FROM attrs0
 ),
 rel0 AS (
@@ -513,11 +520,11 @@ SELECT {final_cols} FROM lls
 """
 
 
-def ccld_stats_sql(dialect: str, source: str = "events", n_events: int = 200) -> str:
+def ccld_stats_sql(dialect: str, source: str = "events", n_events: int = 200, n_sims: int = N_SIMS) -> str:
     """Per-event A11/A12 statistics over the sims (reference
     ccldpy.py:1599-1612: geometric mean/std of area, aspect ratio, length,
     width + depth extremes)."""
-    sims = ccld_simulations_sql(dialect, source=source, n_events=n_events)
+    sims = ccld_simulations_sql(dialect, source=source, n_events=n_events, n_sims=n_sims)
     r6 = lambda x: _R6.format(x=x)  # noqa: E731
     gm = lambda c: r6(f"power(10.0, avg(log10({c})))")  # noqa: E731
     gs = lambda c: r6(f"power(10.0, stddev_pop(log10({c})))")  # noqa: E731
@@ -548,14 +555,14 @@ def _sites_values() -> str:
     )
 
 
-def ccld_selected_sql(source: str = "events", n_events: int = 200) -> str:
+def ccld_selected_sql(source: str = "events", n_events: int = 200, n_sims: int = N_SIMS) -> str:
     """DuckDB twin of the median-rupture selection kernel
     (kernels/ccld_select.select_median_rupture): the interior-or-edge-min
     point-triangle distance written with the kernel's exact formula
     structure (same IEEE op order), distances rounded to integer meters,
     the per-site median as the exact middle element, and an integer sum
     of squared deviations — bit-for-bit the kernel's selection."""
-    sims = ccld_simulations_sql("duckdb", source=source, n_events=n_events)
+    sims = ccld_simulations_sql("duckdb", source=source, n_events=n_events, n_sims=n_sims)
 
     def dot(ux, uy, uz, vx, vy, vz):
         return f"({ux} * {vx} + {uy} * {vy} + {uz} * {vz})"
@@ -635,7 +642,7 @@ med AS (
     SELECT evid, sid, r_m,
            row_number() OVER (PARTITION BY evid, sid ORDER BY r_m, sim) AS rn
     FROM rrup
-  ) WHERE rn = {N_SIMS // 2 + 1}
+  ) WHERE rn = {n_sims // 2 + 1}
 ),
 ssd AS (
   SELECT r.evid, r.sim,

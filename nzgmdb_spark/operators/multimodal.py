@@ -117,16 +117,22 @@ def decode_media_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=META_SCHEMA)
 
 
-def real_image_decoder(blob: bytes) -> np.ndarray:  # pragma: no cover
-    """Slot for a real codec (PIL/turbojpeg) — unavailable here."""
+def real_image_decoder(blob: bytes) -> np.ndarray:
+    """Real-codec slot (PIL): decode an encoded image blob to an (H, W, C)
+    uint8 array — the same contract the synthetic codec plumbing carries
+    through decode/resize/feature stages. Skip-if-absent-tested in
+    tests/test_real_artifacts.py — live as soon as PIL is installed."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "PIL not available; the synthetic codec exercises the same "
             "plumbing — plug a real decoder into this slot in production"
         ) from e
-    raise NotImplementedError
+    import io
+
+    with Image.open(io.BytesIO(blob)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
 # --- transforms -----------------------------------------------------------

@@ -188,16 +188,44 @@ def read_polygon_layer_geojson(
     )
 
 
-def read_shapefile(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
-    """S7 shapefile variant: requires fiona (unavailable here)."""
+def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
+    """S7 shapefile variant (reference tect_domain.py reads the NZ domain
+    layer with fiona). Same output shape as read_polygon_layer_geojson:
+    one row per polygon, (name, domain_no, vertices array<array<double>>)
+    with vertices as [lat, lon]. Skip-if-absent-tested in
+    tests/test_real_artifacts.py — live as soon as fiona is installed."""
     try:
-        import fiona  # noqa: F401
+        import fiona
     except ImportError as e:
         raise NotImplementedError(
             "fiona not available; convert the layer to GeoJSON and use "
             "read_polygon_layer_geojson"
         ) from e
-    raise NotImplementedError
+    rows = []
+    with fiona.open(path) as layer:
+        for feat in layer:
+            geom = feat["geometry"]
+            props = dict(feat.get("properties") or {})
+            if geom is None:
+                continue
+            gtype = geom["type"]
+            polys = (
+                [geom["coordinates"]] if gtype == "Polygon"
+                else geom["coordinates"] if gtype == "MultiPolygon" else []
+            )
+            for poly in polys:
+                ring = poly[0]  # outer ring, (lon, lat) pairs
+                verts = [[float(la), float(lo)] for lo, la, *_ in ring]
+                rows.append(
+                    (
+                        str(props.get("name", "")),
+                        int(props.get("domain_no", 0)),
+                        verts,
+                    )
+                )
+    return spark.createDataFrame(
+        rows, "name string, domain_no int, vertices array<array<double>>"
+    )
 
 
 # --- S16: GitHub directory scan → (evid, url) dimension table

@@ -161,3 +161,39 @@ def test_fmax_within_band(spark):
     for c in ("fmax_000", "fmax_090", "fmax_ver"):
         vals = fx[c].dropna()
         assert ((vals > 0) & (vals <= 100.0)).all()
+
+
+def test_k11_ccld_at_reference_default_1000_sims(spark):
+    """The generated cross-engine SQL program at the reference's default
+    scale — 1000 sims/event (reference distances.py:175-181), not just the
+    N_SIMS=25 test base. Allocation counts scale exactly (25*40); the
+    A11/A12 statistics must stay hash-identical between the Spark and
+    DuckDB programs at 50 events x 1000 sims. Pins both numerics (no
+    precision drift over 40x more draws) and planner viability of the
+    ~40x-larger generated expression tree."""
+    import time
+
+    from nzgmdb_spark.kernels.ccld_sql import ccld_stats_sql
+    from nzgmdb_spark.oracle import compare, run_oracle
+    from nzgmdb_spark.tables import tbl
+    from tests.conftest import SF_SMALL
+
+    tbl(spark, SF_SMALL, "events").createOrReplaceTempView("ccld_events_src")
+    t0 = time.time()
+    spdf = spark.sql(
+        ccld_stats_sql("spark", source="ccld_events_src", n_events=50, n_sims=1000)
+    ).toPandas()
+    wall = time.time() - t0
+    odf = run_oracle(ccld_stats_sql("duckdb", n_events=50, n_sims=1000), SF_SMALL)
+    issues = compare(spdf, odf)
+    assert not issues, "; ".join(issues)
+    assert len(spdf) == 50
+    assert (spdf["n_sims"] == 1000).all()
+    print(f"\nccld 50x1000 spark wall {wall:.1f}s")
+
+
+def test_k11_allocation_rejects_non_multiple_of_base(spark):
+    from nzgmdb_spark.kernels.ccld_sql import ccld_simulations_sql
+
+    with pytest.raises(ValueError):
+        ccld_simulations_sql("spark", n_sims=30)

@@ -1,0 +1,124 @@
+"""Skip-if-absent tests for the real-artifact seams.
+
+Each import-gated slot (onnxruntime .onnx serving, PIL image decode, fiona
+shapefile scan) has a working synthetic twin that the main suite exercises;
+these tests drive the REAL path so the seams are provably one `pip install`
+from live. In environments without the optional dependency the test skips
+with a visible reason instead of silently not existing — the round-2 review
+asked for exactly this visibility.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_onnx_model_serves_real_artifact(tmp_path):
+    ort = pytest.importorskip(
+        "onnxruntime",
+        reason="onnxruntime not installed — OnnxModel seam is one import from live",
+    )
+    onnx = pytest.importorskip(
+        "onnx", reason="onnx (model builder) not installed — cannot author a .onnx artifact"
+    )
+    from onnx import TensorProto, helper, numpy_helper
+
+    from nzgmdb_spark.kernels.inference import OnnxModel, mlp_weights
+
+    w = mlp_weights()
+    # author the SAME MLP the .npz artifact carries: x@W1+b1 -> relu -> @W2+b2 -> sigmoid
+    nodes = [
+        helper.make_node("MatMul", ["x", "W1"], ["h0"]),
+        helper.make_node("Add", ["h0", "b1"], ["h1"]),
+        helper.make_node("Relu", ["h1"], ["h2"]),
+        helper.make_node("MatMul", ["h2", "W2"], ["l0"]),
+        helper.make_node("Add", ["l0", "b2"], ["l1"]),
+        helper.make_node("Sigmoid", ["l1"], ["y"]),
+    ]
+    inits = [
+        numpy_helper.from_array(w["W1"].astype(np.float32), "W1"),
+        numpy_helper.from_array(w["b1"].astype(np.float32), "b1"),
+        numpy_helper.from_array(w["W2"].astype(np.float32), "W2"),
+        numpy_helper.from_array(w["b2"].astype(np.float32), "b2"),
+    ]
+    graph = helper.make_graph(
+        nodes,
+        "mlp",
+        [helper.make_tensor_value_info("x", TensorProto.FLOAT, [None, w["W1"].shape[0]])],
+        [helper.make_tensor_value_info("y", TensorProto.FLOAT, [None, 1])],
+        inits,
+    )
+    model = helper.make_model(graph)
+    path = os.path.join(str(tmp_path), "clip.onnx")
+    onnx.save(model, path)
+
+    m = OnnxModel(path)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, w["W1"].shape[0])).astype(np.float32)
+    got = m.predict(x)
+    h = np.maximum(x @ w["W1"].astype(np.float32) + w["b1"].astype(np.float32), 0)
+    want = 1.0 / (1.0 + np.exp(-(h @ w["W2"].astype(np.float32) + w["b2"].astype(np.float32))))
+    assert np.allclose(got, want.ravel(), atol=1e-5)
+
+
+def test_pil_decodes_real_png():
+    pytest.importorskip(
+        "PIL", reason="PIL not installed — real_image_decoder seam is one import from live"
+    )
+    import io
+
+    from PIL import Image
+
+    from nzgmdb_spark.operators.multimodal import real_image_decoder
+
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (12, 9, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    got = real_image_decoder(buf.getvalue())
+    assert got.shape == (12, 9, 3)
+    assert np.array_equal(got, arr)  # PNG is lossless
+
+
+def test_fiona_reads_real_shapefile(spark, tmp_path):
+    fiona = pytest.importorskip(
+        "fiona", reason="fiona not installed — read_shapefile seam is one import from live"
+    )
+    from nzgmdb_spark.sources.remote import read_shapefile
+
+    schema = {
+        "geometry": "Polygon",
+        "properties": {"name": "str", "domain_no": "int"},
+    }
+    path = os.path.join(str(tmp_path), "domains.shp")
+    ring = [(174.0, -41.0), (175.0, -41.0), (175.0, -40.0), (174.0, -41.0)]
+    with fiona.open(path, "w", driver="ESRI Shapefile", schema=schema) as dst:
+        dst.write(
+            {
+                "geometry": {"type": "Polygon", "coordinates": [ring]},
+                "properties": {"name": "TVZ", "domain_no": 4},
+            }
+        )
+    df = read_shapefile(spark, path)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "TVZ" and rows[0]["domain_no"] == 4
+    # vertices come back [lat, lon]
+    assert rows[0]["vertices"][0] == [-41.0, 174.0]
+
+
+def test_gated_slots_raise_cleanly_without_deps():
+    """When the optional deps are absent the slots must fail loudly with an
+    actionable message, not crash obscurely mid-pipeline."""
+    for mod, fn in [
+        ("onnxruntime", lambda: __import__("nzgmdb_spark.kernels.inference", fromlist=["OnnxModel"]).OnnxModel("/nonexistent.onnx")),
+        ("PIL", lambda: __import__("nzgmdb_spark.operators.multimodal", fromlist=["real_image_decoder"]).real_image_decoder(b"")),
+    ]:
+        try:
+            __import__(mod)
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                fn()
