@@ -234,6 +234,7 @@ def decluster_distributed(
     crjb_cutoff_km: float = 10.0,
     max_rounds: int = 64,
     driver_collect_cap: int = 1_000_000,
+    b2_on_driver: bool = False,
 ) -> DataFrame:
     """Distributed declustering, exact-equivalent to the sequential greedy.
 
@@ -545,44 +546,87 @@ def decluster_distributed(
         .select("k_prio", "j_prio")
         .localCheckpoint()
     )
-    # The B2 sliver (equal-magnitude both-mainshock pairs) and the claimer
-    # prios are resolved on the driver — a degenerate subset of the
-    # catalog by construction, but cap it LOUDLY so a pathological input
-    # (everything tied in magnitude) fails with a diagnosis instead of
-    # silently materializing catalog-scale data through the driver.
-    n_late = late_df.count()
-    if n_late > driver_collect_cap:
-        raise RuntimeError(
-            f"decluster Phase B2 sliver has {n_late} pairs "
-            f"(> driver_collect_cap={driver_collect_cap}); the catalog's "
-            "equal-magnitude mainshock structure is degenerate — raise the "
-            "cap only if driver memory allows, or pre-jitter magnitudes"
-        )
-    n_claimers = early.count()
-    if n_claimers > driver_collect_cap:
-        raise RuntimeError(
-            f"decluster claimer set has {n_claimers} rows "
-            f"(> driver_collect_cap={driver_collect_cap})"
-        )
-    late_rows = late_df.collect()
-    has_claims_prios = {r.claimer_prio for r in early.select("claimer_prio").collect()}
-    late_assign: dict[int, int] = {}
-    for kp, jp in sorted((r.k_prio, r.j_prio) for r in late_rows):
-        if jp in late_assign or jp in has_claims_prios:
-            continue
-        late_assign[jp] = kp
-        has_claims_prios.add(kp)
-    claims = early
-    if late_assign:
-        claims = early.unionByName(
-            spark.createDataFrame(
-                [(j, c) for j, c in late_assign.items()],
-                ["j_prio", "claimer_prio"],
+    # The B2 claims interleave with each other in strict claimer-priority
+    # order, which looks sequential but is a dependency-ordered greedy
+    # matching: pair (k, j) can be decided once (a) every pending pair
+    # with an EARLIER claimer on the same target j is decided and (b) all
+    # of j's own claiming pairs are decided (claimer prios of j's pairs
+    # are < k by the k_prio > j_prio filter, so they strictly precede).
+    # A decidable pair succeeds iff the target is not immune: j claimed
+    # nothing (neither an early B1 claim nor a successful late claim) and
+    # no earlier late claim took j. Each round decides every pair whose
+    # dependencies are settled — rounds = longest claim-chain depth, and
+    # NO pair data ever moves through the driver (the round-2 seam,
+    # retired; set b2_on_driver=True for the legacy capped driver path).
+    early_claimers = early.select(F.col("claimer_prio").alias("prio")).distinct()
+    if b2_on_driver:
+        n_late = late_df.count()
+        if n_late > driver_collect_cap:
+            raise RuntimeError(
+                f"decluster Phase B2 sliver has {n_late} pairs "
+                f"(> driver_collect_cap={driver_collect_cap}); the catalog's "
+                "equal-magnitude mainshock structure is degenerate — use the "
+                "default distributed B2 resolution"
             )
+        late_rows = late_df.collect()
+        has_claims_prios = {
+            r.prio for r in early_claimers.collect()
+        }
+        late_assign: dict[int, int] = {}
+        for kp, jp in sorted((r.k_prio, r.j_prio) for r in late_rows):
+            if jp in late_assign or jp in has_claims_prios:
+                continue
+            late_assign[jp] = kp
+            has_claims_prios.add(kp)
+        succ = spark.createDataFrame(
+            [(int(c), int(j)) for j, c in late_assign.items()],
+            schema="k_prio int, j_prio int",
         )
-    has_claims = spark.createDataFrame(
-        [(int(p),) for p in sorted(has_claims_prios)], schema="prio int"
+    else:
+        pend = late_df
+        succ = spark.createDataFrame([], schema="k_prio int, j_prio int")
+        for _ in range(max_rounds):
+            if pend.count() == 0:
+                break
+            earlier_same_target = pend.select(
+                F.col("k_prio").alias("e_k"), F.col("j_prio").alias("e_j")
+            )
+            target_as_claimer = pend.select(F.col("k_prio").alias("t_k")).distinct()
+            ready = pend.join(
+                earlier_same_target,
+                (F.col("e_j") == F.col("j_prio")) & (F.col("e_k") < F.col("k_prio")),
+                "left_anti",
+            ).join(
+                target_as_claimer, F.col("t_k") == F.col("j_prio"), "left_anti"
+            )
+            # immunity from ALREADY-DECIDED state only (readiness guarantees
+            # everything relevant is decided): targets that claimed, or were
+            # taken by an earlier (decided) late claim
+            claimed_something = early_claimers.unionByName(
+                succ.select(F.col("k_prio").alias("prio"))
+            ).distinct()
+            taken = succ.select("j_prio").distinct()
+            ready_succ = ready.join(
+                claimed_something, F.col("prio") == F.col("j_prio"), "left_anti"
+            ).join(taken, "j_prio", "left_anti")
+            succ = succ.unionByName(
+                ready_succ.select(
+                    F.col("k_prio").cast("int"), F.col("j_prio").cast("int")
+                )
+            ).localCheckpoint()
+            pend = pend.join(ready, ["k_prio", "j_prio"], "left_anti").localCheckpoint()
+        else:
+            if pend.count() != 0:
+                raise RuntimeError(
+                    f"decluster B2 fixpoint did not converge in {max_rounds} "
+                    "rounds — claim-chain depth exceeds the bound"
+                )
+    claims = early.unionByName(
+        succ.select("j_prio", F.col("k_prio").alias("claimer_prio"))
     )
+    has_claims = early_claimers.unionByName(
+        succ.select(F.col("k_prio").alias("prio"))
+    ).distinct()
 
     # --- Assemble output: aftershock flag + canonical cluster label.
     claimer_evid = prio_evid.select(

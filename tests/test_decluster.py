@@ -285,3 +285,49 @@ def test_distributed_bucketed_join_crosses_buckets(spark):
     assert _partitions(evids, [got[e].cluster_evid for e in evids]) == _partitions(
         evids, c_seq
     )
+
+
+def test_b2_equal_magnitude_chain_distributed_and_driver_match_sequential(spark):
+    """Round-3: the B2 equal-magnitude resolution is a distributed
+    dependency-ordered fixpoint (no pair data through the driver). Build a
+    catalog that is ALL B2: equal magnitudes, co-located, times strictly
+    decreasing with evid, so phase A claims nothing and late claims chain
+    (B claims A; C blocked on both; D claims C) — 3 fixpoint rounds. Both
+    the distributed resolution and the legacy capped driver path must match
+    the sequential reference exactly."""
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    events = []
+    for i, evid in enumerate(["evA", "evB", "evC", "evD"]):
+        events.append(
+            {
+                "evid": evid,
+                "datetime": 1.6e9 + (3 - i) * 3600.0,  # descending in time
+                "mag": 6.0,
+                "lat": -41.0,
+                "lon": 174.0,
+                "corners": _square(-41.0, 174.0),
+            }
+        )
+    a_seq, c_seq = decluster_catalog(
+        sorted(events, key=lambda e: e["evid"]), crjb_cutoff_km=10.0
+    )
+    df = spark.createDataFrame(
+        [(e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"]) for e in events],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: e["corners"] for e in events}
+    evids = sorted(e["evid"] for e in events)
+    for driver_mode in (False, True):
+        out = decluster_distributed(
+            df, corners, crjb_cutoff_km=10.0, b2_on_driver=driver_mode
+        )
+        got = {r.evid: r for r in out.collect()}
+        assert [got[e].aftershock_flag for e in evids] == a_seq, (
+            f"b2_on_driver={driver_mode}"
+        )
+        assert _partitions(evids, [got[e].cluster_evid for e in evids]) == _partitions(
+            evids, c_seq
+        ), f"b2_on_driver={driver_mode}"
+    # the structure really is the intended chain: B claims A, D claims C
+    assert a_seq == [1, 0, 1, 0]
