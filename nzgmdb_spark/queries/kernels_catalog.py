@@ -24,6 +24,12 @@ from nzgmdb_spark.queries.geo import _LAT, _LON, _points
 from nzgmdb_spark.queries.registry import register
 from nzgmdb_spark.tables import tbl
 
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "goldens",
+)
+
 # Shared synthetic event attributes (exact in doubles on both engines).
 _MAG = (
     "CAST(3.0 AS DOUBLE) + CAST(event_id % 60 AS DOUBLE) / CAST(10.0 AS DOUBLE)"
@@ -424,11 +430,15 @@ def t2_stream_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W5/K15: sequential Gardner-Knopoff-style declustering with CRJB
 # cutoff (reference aftershocks.py:222-308). Inherently ordered and
 # stateful → exact driver-side algorithm over the bounded event dimension
-# (SURVEY §7.3-1); no SQL twin, golden-tested in tests/test_decluster.py.
+# (SURVEY §7.3-1); golden-tested in tests/test_decluster.py, and — round 3 —
+# value-hash-checked against fixtures in tests/goldens/ generated by
+# tools/gen_decluster_fixture.py (for the distributed query the fixture
+# comes from the INDEPENDENT sequential algorithm; for the catalog query
+# it is a determinism pin of the same algorithm).
 
-@register("w5_decluster_catalog", sql=None, survey=["W5", "K15"])
-def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.operators.decluster import decluster, square_corners_col
+
+def _decluster_events(spark: SparkSession, sf_dir: str, ordered: bool) -> DataFrame:
+    from nzgmdb_spark.operators.decluster import square_corners_col
 
     ev = (
         _points(spark, sf_dir)
@@ -445,8 +455,22 @@ def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lon",
         )
         .withColumn("corners", square_corners_col())  # derived, no driver loop
-        .orderBy("evid")  # deterministic catalog order → stable cluster ids
     )
+    # deterministic catalog order → stable cluster ids for the seq path
+    return ev.orderBy("evid") if ordered else ev
+
+
+W5_CATALOG_SQL = (
+    "SELECT evid, mag, aftershock_flag, cluster_flag "
+    f"FROM read_parquet('{_GOLDEN_DIR}/w5_decluster_catalog_expected.parquet')"
+)
+
+
+@register("w5_decluster_catalog", sql=W5_CATALOG_SQL, survey=["W5", "K15"])
+def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.decluster import decluster
+
+    ev = _decluster_events(spark, sf_dir, ordered=True)
     out = decluster(ev, crjb_cutoff_km=10.0)
     return out.select("evid", "mag", "aftershock_flag", "cluster_flag")
 
@@ -458,31 +482,23 @@ def w5_decluster_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_decluster.py::test_distributed_matches_sequential); this is
 # the path that scales past a driver-collectable catalog.
 
-@register("w5_decluster_distributed", sql=None, survey=["W5", "K15"])
-def w5_decluster_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.operators.decluster import (
-        decluster_distributed,
-        square_corners_col,
-    )
+W5_DISTRIBUTED_SQL = (
+    "SELECT evid, mag, aftershock_flag, cluster_evid "
+    f"FROM read_parquet('{_GOLDEN_DIR}/w5_decluster_distributed_expected.parquet')"
+)
 
-    ev = (
-        _points(spark, sf_dir)
-        .filter(F.col("event_id") % 10 == 0)
-        .withColumn("mag", F.expr(_MAG))
-        .join(
-            tbl(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
-        )
-        .select(
-            F.col("event_id").cast("string").alias("evid"),
-            F.col("ts").alias("datetime"),
-            "mag",
-            "lat",
-            "lon",
-        )
-        # rupture polygons as a derived COLUMN — the whole path is
-        # driver-free (VERDICT r1 #7)
-        .withColumn("corners", square_corners_col())
-    )
+
+@register("w5_decluster_distributed", sql=W5_DISTRIBUTED_SQL, survey=["W5", "K15"])
+def w5_decluster_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decluster, value-hash-checked against a fixture computed
+    by the INDEPENDENT sequential algorithm (tools/gen_decluster_fixture.py
+    runs decluster_catalog in pure Python and canonicalizes cluster labels
+    to root evids) — a cross-algorithm oracle for the whole fixpoint."""
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    # rupture polygons as a derived COLUMN — the whole path is
+    # driver-free (VERDICT r1 #7)
+    ev = _decluster_events(spark, sf_dir, ordered=False)
     return decluster_distributed(ev, crjb_cutoff_km=10.0)
 
 
@@ -644,11 +660,6 @@ def _synth_waveforms(spark: SparkSession, sf_dir: str, n_records: int = 48) -> D
     )
 
 
-_GOLDEN_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests",
-    "goldens",
-)
 
 
 def _q6(col: F.Column) -> F.Column:
