@@ -16,6 +16,9 @@ registered oracle-checked query over the documents table.
    source by quality rank), the standard Common-Crawl-style guard against
    a single domain dominating the corpus. One shuffle on the domain key,
    one window, deterministic tie-break.
+4. ``text_sequence_packing`` — per-shard contiguous packing of documents
+   into fixed-capacity token windows (the curation → tokenizer handoff):
+   no global sort, integer-exact, one shuffle on the shard key.
 """
 
 from __future__ import annotations
@@ -412,4 +415,67 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+# --- Sequence packing: assign documents to fixed-capacity token windows —
+# the step between curation and tokenizer that turns a document corpus
+# into training contexts. Packing is PER SHARD (doc_id % 32): each shard
+# orders its docs deterministically and packs greedily by cumulative token
+# count (a doc's window = its start offset // capacity, the standard
+# contiguous-grouping semantic). That is the production shape at 100 TB —
+# no global sort, one shuffle on the shard key, window state never leaves
+# the shard — and it is integer-exact, so the DuckDB oracle hash-matches
+# bit-for-bit. fill_ratio divides by 2^11, exact in doubles.
+
+_PACK_CAP = 2048
+
+PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+  FROM toks
+)
+SELECT shard, CAST(start_off // {_PACK_CAP} AS BIGINT) AS window_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS packed_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       CAST(SUM(n_tok) AS DOUBLE) / {_PACK_CAP}.0 AS fill_ratio
+FROM pos GROUP BY shard, start_off // {_PACK_CAP}
+"""
+
+
+@register("text_sequence_packing", sql=PACKING_SQL, survey=["W1", "A4", "F9"])
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pos = toks.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        pos.groupBy(
+            "shard", F.floor(F.col("start_off") / F.lit(_PACK_CAP)).alias("window_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("packed_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            (F.sum("n_tok").cast("double") / F.lit(float(_PACK_CAP))).alias(
+                "fill_ratio"
+            ),
+        )
     )

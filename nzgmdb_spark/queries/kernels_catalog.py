@@ -4,9 +4,12 @@ The numeric kernels that ARE oracle-checkable get DuckDB SQL twins — the
 distance kernels use only IEEE add/mul/div/sqrt/min/max with pre-folded
 trig constants, decision trees are CASE logic, and the stubbed model
 scorers (ClipNet, PhaseNet) are deterministic array arithmetic. The
-genuinely non-SQL kernels (seeded Monte Carlo, sequential declustering,
-the waveform signal chain) register with ``sql=None`` → the driver's
-rows-only check; their numerics are pinned by golden tests instead.
+genuinely non-SQL kernels register fixture-backed oracles instead of
+``sql=None`` since round 3: the waveform signal chain against
+independently-computed golden vectors (tools/gen_goldens.py), the two
+decluster paths against the sequential reference algorithm
+(tools/gen_decluster_fixture.py), and the composite DAG against a
+partitioning-independence determinism pin (tools/gen_pipeline_fixture.py).
 """
 
 from __future__ import annotations
@@ -715,12 +718,27 @@ def k_snr_fmax_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are each oracle-checked individually above).
 
 
+PIPELINE_DAG_SQL = (
+    "SELECT record_id, evid, sta, component, PGA, r_rup, fmin_max, "
+    "ev_tect_class, ev_aftershock_flag "
+    f"FROM read_parquet('{_GOLDEN_DIR}/pipeline_full_dag_expected.parquet')"
+)
+
+
 @register(
     "pipeline_full_dag",
-    sql=None,
+    sql=PIPELINE_DAG_SQL,
     survey=["S14", "J6", "J9", "W3", "W4", "P7", "A10"],
 )
 def pipeline_full_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 13-stage composite DAG, value-hash-checked against a fixture
+    generated by tools/gen_pipeline_fixture.py. The fixture is a
+    DETERMINISM PIN, not an independent oracle (each building block has its
+    own cross-engine oracle above): the generator runs the DAG twice under
+    different masters/partitionings into fresh warehouses and asserts
+    identical quantized output before writing it — so a placement- or
+    partition-order-dependent float anywhere in the 13 stages breaks the
+    hash instead of hiding."""
     from nzgmdb_spark.plans.pipeline import run_full_pipeline
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -729,7 +747,10 @@ def pipeline_full_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = spark.read.parquet(run.path("quality_db"))
     return kept.select(
-        "record_id", "evid", "sta", "component", "PGA", "r_rup", "fmin_max",
+        "record_id", "evid", "sta", "component",
+        _q6(F.col("PGA")).alias("PGA"),
+        _q6(F.col("r_rup")).alias("r_rup"),
+        _q6(F.col("fmin_max")).alias("fmin_max"),
         "ev_tect_class", "ev_aftershock_flag",
     ).orderBy("record_id")
 
