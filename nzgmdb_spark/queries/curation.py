@@ -19,6 +19,12 @@ registered oracle-checked query over the documents table.
 4. ``text_sequence_packing`` — per-shard contiguous packing of documents
    into fixed-capacity token windows (the curation → tokenizer handoff):
    no global sort, integer-exact, one shuffle on the shard key.
+5. ``text_chunk_overlap`` — 64-token / stride-48 overlapping chunking
+   (the RAG / embedding-window shape): zero-shuffle map-side generate +
+   slice with md5 chunk fingerprints.
+6. ``text_global_shuffle_rank`` — seeded deterministic epoch permutation
+   WITHOUT a global window: per-bucket distributed ranks + a broadcast
+   256-row prefix-sum reproduce the naive global row_number exactly.
 """
 
 from __future__ import annotations
@@ -478,4 +484,105 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "fill_ratio"
             ),
         )
+    )
+
+
+# --- Overlapping chunking (RAG / embedding-window shape): split each doc
+# into 64-token windows at stride 48, tail partials included. Pure
+# map-side generate + slice — ZERO shuffle, linear in corpus, the chunker
+# you run before embedding 100 TB. Chunk fingerprints are md5 of the
+# joined tokens, identical strings on both engines.
+
+_CHUNK_LEN, _CHUNK_STRIDE = 64, 48
+
+CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, n, g.i AS chunk_id,
+         t[g.i * {_CHUNK_STRIDE} + 1 : g.i * {_CHUNK_STRIDE} + {_CHUNK_LEN}] AS c
+  FROM toks, UNNEST(generate_series(0, (n - 1) // {_CHUNK_STRIDE})) AS g(i)
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(c) AS INT) AS chunk_tokens,
+       c[1] AS first_tok, c[len(c)] AS last_tok,
+       md5(array_to_string(c, ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
+@register("text_chunk_overlap", sql=CHUNK_SQL, survey=["F1", "F3", "F5"])
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    toks = d.select("doc_id", t.alias("t"), n.alias("n"))
+    exploded = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / _CHUNK_STRIDE).cast("int"))
+        ).alias("chunk_id"),
+    )
+    c = F.slice(F.col("t"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_LEN)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int"),
+        F.size(c).cast("int").alias("chunk_tokens"),
+        F.element_at(c, 1).alias("first_tok"),
+        F.element_at(c, -1).alias("last_tok"),
+        F.md5(F.concat_ws(" ", c).cast("binary")).alias("chunk_fp"),
+    )
+
+
+# --- Seeded global shuffle rank WITHOUT a global window: the training-data
+# "deterministic epoch permutation". A naive row_number() OVER (ORDER BY
+# hash) funnels the corpus through one partition; the scalable form ranks
+# within 256 hash buckets (distributed windows) and adds a broadcast
+# prefix-sum of bucket sizes — the same total order, no single-partition
+# stage. The oracle is the naive global row_number, proving the
+# decomposition exact.
+
+_SHUFFLE_SEED = "epoch42"
+
+SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(concat('{_SHUFFLE_SEED}_', CAST(doc_id AS VARCHAR))) AS hx
+  FROM documents
+)
+SELECT doc_id, hx,
+       CAST(row_number() OVER (ORDER BY hx, doc_id) AS BIGINT) AS shuffle_pos
+FROM h
+"""
+
+
+@register("text_global_shuffle_rank", sql=SHUFFLE_SQL, survey=["O1", "A4", "F2"])
+def text_global_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{_SHUFFLE_SEED}_"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("hx"),
+    )
+    bucketed = h.withColumn("bucket", F.substring("hx", 1, 2))
+    w = Window.partitionBy("bucket").orderBy("hx", "doc_id")
+    ranked = bucketed.withColumn("in_bucket_rank", F.row_number().over(w))
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    wpre = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # 256-row dimension: the global prefix-sum window is over a BROADCAST-
+    # scale frame, not the corpus
+    prefix = sizes.select(
+        "bucket", F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("before")
+    )
+    return ranked.join(F.broadcast(prefix), "bucket").select(
+        "doc_id",
+        "hx",
+        (F.col("before") + F.col("in_bucket_rank")).cast("bigint").alias("shuffle_pos"),
     )
