@@ -690,6 +690,47 @@ def k_signal_ims_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q9(col: F.Column) -> F.Column:
+    """floor(v*1e9+0.5)/1e9 — the SNR/FAS array fixture's quantizer
+    (finer than _q6 because FAS values span decades)."""
+    return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+K4_SNR_FAS_SQL = (
+    "SELECT record_id, component, freq_idx, snr, fas_signal, fas_noise "
+    f"FROM read_parquet('{_GOLDEN_DIR}/k4_snr_fas_expected.parquet')"
+)
+
+
+@register("k4_snr_fas_values", sql=K4_SNR_FAS_SQL, survey=["K4", "F11"])
+def k4_snr_fas_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K4 product itself — the full Konno-Ohmachi-smoothed SNR and FAS
+    arrays, long form, value-hash-checked against the longdouble naive-DFT
+    golden fixture (tools/gen_goldens.py) at every common frequency below
+    Nyquist. This puts the ARRAYS under the driver's correctness gate, not
+    just the fmax picks derived from them."""
+    from nzgmdb_spark.kernels.spark import snr_for_records
+
+    wf = _synth_waveforms(spark, sf_dir)
+    phase = wf.select("record_id", F.lit(150).cast("int").alias("p_wave_ix"))
+    snr = snr_for_records(wf, phase)
+    z = F.arrays_zip("snr", "fas_signal", "fas_noise")
+    # above-Nyquist entries are NaN in the kernel and arrive as NULL
+    # through the Arrow batch boundary — drop them (the fixture carries
+    # only below-Nyquist frequencies)
+    long = snr.select(
+        "record_id", "component", F.posexplode(z).alias("freq_idx", "v")
+    ).filter(F.col("v.snr").isNotNull())
+    return long.select(
+        "record_id",
+        "component",
+        "freq_idx",
+        _q9(F.col("v.snr")).alias("snr"),
+        _q9(F.col("v.fas_signal")).alias("fas_signal"),
+        _q9(F.col("v.fas_noise")).alias("fas_noise"),
+    )
+
+
 K_SNR_FMAX_SQL = (
     "SELECT record_id, fmax_000, fmax_090, fmax_ver "
     f"FROM read_parquet('{_GOLDEN_DIR}/k_snr_fmax_expected.parquet')"

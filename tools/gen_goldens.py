@@ -70,6 +70,37 @@ def quant(v: float) -> float:
     return float(np.floor(v * GRID + 0.5) / GRID)
 
 
+GRID9 = 1e9  # finer grid for the SNR/FAS array fixture (values span decades)
+
+
+def quant9(v: float) -> float:
+    return float(np.floor(v * GRID9 + 0.5) / GRID9)
+
+
+def _assert_array_close(
+    name, golden: np.ndarray, engine: np.ndarray, rtol, margins
+) -> np.ndarray:
+    """Vectorized engine-vs-golden + 1e-9-grid boundary guard.
+
+    Returns a mask of near-boundary indices (golden within 100x the
+    engine-vs-golden diff of a rounding boundary, ~1 in 10^4 values): for
+    those the caller stores the ENGINE's rounded value so the fixture stays
+    bit-stable — their fidelity is still pinned by the rtol assertion here,
+    only the last-digit rounding choice comes from the engine. Raises if
+    values genuinely diverge."""
+    g = golden.astype(np.float64)
+    d = np.abs(g - engine)
+    bad = d > rtol * np.maximum(np.abs(g), 1e-30)
+    if bad.any():
+        i = int(np.argmax(bad))
+        raise AssertionError(f"{name}[{i}]: |g-e|={d[i]} g={g[i]}")
+    frac = np.abs((g * GRID9 + 0.5) % 1.0 - 0.5)
+    boundary = 0.5 - frac
+    near = boundary < np.maximum(d * GRID9 * 100, 1e-7)
+    margins.append(float(boundary[~near].min()) if (~near).any() else 0.5)
+    return near
+
+
 # ---------------------------------------------------------------- K1 golden
 def g_preprocess(acc, dt, pad_s=5.0):
     n = len(acc)
@@ -374,6 +405,7 @@ def main():
     stage: dict[str, np.ndarray] = {}
     ims_rows: list[dict] = []
     fmax_rows: list[dict] = []
+    snr_rows: list[dict] = []
     margins: list[float] = []
     tp = 150
 
@@ -437,6 +469,7 @@ def main():
             )
 
         # --- K4/K5 golden: SNR on RAW traces (pipeline contract), fmax picks
+        # + the full quantized SNR/FAS array fixture (k4_snr_fas_values)
         picks = {}
         for c in comps:
             snr_g, fs_g, fn_g, ds, dn = g_snr(raw[c], dt, tp)
@@ -446,6 +479,25 @@ def main():
                 np.abs(snr_g[m].astype(np.float64) - eng["snr"][m]) / np.abs(eng["snr"][m])
             )
             assert rel < 1e-10, f"SNR ev{evid}/{c} rel diff {rel}"
+            near = {}
+            for key, gold in (("snr", snr_g), ("fas_signal", fs_g), ("fas_noise", fn_g)):
+                near[key] = _assert_array_close(
+                    f"ev{evid}/{c}/{key}", gold[m], eng[key][m], 1e-10, margins
+                )
+            for pos, idx in enumerate(np.nonzero(m)[0]):
+                row = {
+                    "record_id": rec["record_id"],
+                    "component": c,
+                    "freq_idx": int(idx),
+                }
+                for key, gold in (
+                    ("snr", snr_g),
+                    ("fas_signal", fs_g),
+                    ("fas_noise", fn_g),
+                ):
+                    src = eng[key][idx] if near[key][pos] else float(gold[idx])
+                    row[key] = quant9(float(src))
+                snr_rows.append(row)
             pick, marg = g_fmax(snr_g)
             assert marg > 1e-6, f"fmax ev{evid}/{c}: smooth-SNR threshold margin {marg}"
             picks[c] = quant(pick)
@@ -485,8 +537,14 @@ def main():
     ims_pdf.to_parquet(os.path.join(GOLDEN_DIR, "k_signal_ims_expected.parquet"), index=False)
     fmax_pdf = pd.DataFrame(fmax_rows)
     fmax_pdf.to_parquet(os.path.join(GOLDEN_DIR, "k_snr_fmax_expected.parquet"), index=False)
-    print(f"wrote fixtures: ims {len(ims_pdf)} rows, fmax {len(fmax_pdf)} rows; "
-          f"min grid margin {min(margins):.3g} (of 5e-7)")
+    snr_pdf = pd.DataFrame(
+        snr_rows,
+        columns=["record_id", "component", "freq_idx", "snr", "fas_signal", "fas_noise"],
+    )
+    snr_pdf["freq_idx"] = snr_pdf["freq_idx"].astype("int32")
+    snr_pdf.to_parquet(os.path.join(GOLDEN_DIR, "k4_snr_fas_expected.parquet"), index=False)
+    print(f"wrote fixtures: ims {len(ims_pdf)} rows, fmax {len(fmax_pdf)} rows, "
+          f"snr/fas {len(snr_pdf)} rows; min grid margin {min(margins):.3g}")
 
     # --- phase 2: the REGISTERED Spark queries must hash-match the fixtures
     from nzgmdb_spark.oracle import compare
@@ -499,6 +557,7 @@ def main():
         for qname, fixture in [
             ("k_signal_ims_pipeline", ims_pdf),
             ("k_snr_fmax_pipeline", fmax_pdf),
+            ("k4_snr_fas_values", snr_pdf),
         ]:
             got = reg[qname].fn(spark, "/root/testdata/sf0.01").toPandas()
             issues = compare(got, fixture)
