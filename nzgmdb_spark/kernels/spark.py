@@ -196,12 +196,24 @@ def fmax_from_snr(snr_long: DataFrame, freqs: np.ndarray = COMMON_FREQS) -> Data
     freq_df = snr_long.sparkSession.createDataFrame(
         [(i, float(f)) for i, f in enumerate(freqs)], ["freq_idx", "frequency"]
     )
+    # Above-Nyquist entries are NaN in the kernel and surface as NULL after
+    # the Arrow batch boundary. The reference smooths with pandas rolling,
+    # where NaN POISONS every window it touches (fmax.py:276-313) — so
+    # convert NULL back to NaN and keep the rows: Spark's avg() propagates
+    # NaN, reproducing the poisoned-window semantics. (The previous
+    # drop-nulls-then-window form let boundary windows reach across the
+    # Nyquist gap — a subtle near-Nyquist divergence from the reference.)
     long = (
         snr_long.select(
             "record_id", "component", F.posexplode("snr").alias("freq_idx", "snr_val")
         )
         .join(F.broadcast(freq_df), "freq_idx")
-        .filter(F.col("snr_val").isNotNull())
+        .withColumn(
+            "snr_val",
+            F.when(F.col("snr_val").isNull(), F.lit(float("nan"))).otherwise(
+                F.col("snr_val")
+            ),
+        )
     )
     w_roll = (
         Window.partitionBy("record_id", "component")
