@@ -305,3 +305,24 @@ def test_mmr_kernel_equals_unrolled_plan(spark, k):
         .reset_index(drop=True)
     )
     assert kernel.equals(unrolled.astype(kernel.dtypes.to_dict()))
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    """Packing invariants beyond the oracle hash: every shard's packed
+    token total equals its corpus token total (nothing dropped or double-
+    counted), window ids are non-negative, and each (shard, window) is
+    unique."""
+    from nzgmdb_spark.queries import load_registry
+    from nzgmdb_spark.tables import tbl
+    from tests.conftest import SF_SMALL
+
+    out = load_registry()["text_sequence_packing"].fn(spark, SF_SMALL).toPandas()
+    d = tbl(spark, SF_SMALL, "documents").select(
+        (F.col("doc_id") % 32).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    ).groupBy("shard").agg(F.sum("n_tok").alias("total")).toPandas()
+    got = out.groupby("shard")["packed_tokens"].sum().to_dict()
+    want = dict(zip(d["shard"], d["total"]))
+    assert got == want
+    assert (out["window_id"] >= 0).all()
+    assert not out.duplicated(["shard", "window_id"]).any()

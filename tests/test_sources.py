@@ -305,3 +305,25 @@ def test_read_with_evolution_normalizes_drops(spark, tmp_path):
     assert rows[2].v == 4.0 and rows[2].tag is None  # drop1: no tag column
     assert rows[7].v == 21.0 and rows[7].tag == "new"
     assert all(r.extra is None for r in rows.values())  # nowhere present
+
+
+def test_oracle_map_in_sync_with_registry():
+    """ORACLE_MAP.json is the external sweep contract — it must not rot.
+    Every registered query appears with the registry's oracle SQL, and the
+    counts match; regenerate with tools/gen_oracle_map.py after adding
+    queries."""
+    import json
+    import os
+
+    from nzgmdb_spark.queries import load_registry
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ORACLE_MAP.json")
+    payload = json.load(open(path))
+    reg = load_registry()
+    assert set(payload["queries"]) == set(reg), (
+        "ORACLE_MAP.json out of date — run PYTHONPATH=. python tools/gen_oracle_map.py"
+    )
+    for name, spec in reg.items():
+        assert payload["queries"][name]["oracle_sql"] == spec.sql, name
+    assert payload["n_queries"] == len(reg)
+    assert payload["n_value_hash"] == sum(1 for s in reg.values() if s.sql)
