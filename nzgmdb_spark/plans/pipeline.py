@@ -246,23 +246,34 @@ def run_full_pipeline(
 
     phase = _checkpoint(run, "phase_arrivals", build_phase, spark)
 
-    # -- stage 6: SNR + fmax (K4/K5/W1/W2)
-    def build_fmax() -> DataFrame:
-        from nzgmdb_spark.kernels.spark import fmax_from_snr, snr_for_records
+    # -- stage 6: SNR/FAS table + fmax (K4/K5/W1/W2). The smoothed spectra
+    # are checkpointed in their own right (not just consumed by the fmax
+    # pick): the flatfile's FAS column family is built from them, matching
+    # the reference where snr_fas feeds both fmax and the flatfile EAS
+    # block (merge_flatfiles.py:296-352).
+    def build_snr() -> DataFrame:
+        from nzgmdb_spark.kernels.spark import snr_for_records
 
-        snr = snr_for_records(waveforms, phase)
-        return fmax_from_snr(snr)
+        return snr_for_records(waveforms, phase)
+
+    snr_tbl = _checkpoint(run, "snr_fas", build_snr, spark)
+
+    def build_fmax() -> DataFrame:
+        from nzgmdb_spark.kernels.spark import fmax_from_snr
+
+        return fmax_from_snr(snr_tbl)
 
     fmax = _checkpoint(run, "fmax", build_fmax, spark)
 
-    # -- stage 7: IMs (K1-K3, K6)
+    # -- stage 7: IMs (K1-K3, K6) at the reference's FULL 111-period pSA
+    # vector (config.yaml periods → plans/flatfile.PSA_PERIODS), kept as an
+    # array column for the flatfile's pSA family.
     def build_ims() -> DataFrame:
         from nzgmdb_spark.kernels.spark import ims_for_records, preprocess_records
+        from nzgmdb_spark.plans.flatfile import PSA_PERIODS
 
         processed = preprocess_records(waveforms)
-        return ims_for_records(
-            processed, periods=np.array([0.1, 0.5, 1.0, 3.0])
-        ).drop("pSA")
+        return ims_for_records(processed, periods=np.array(PSA_PERIODS))
 
     ims = _checkpoint(run, "ims", build_ims, spark)
 
@@ -289,6 +300,19 @@ def run_full_pipeline(
     # -- stage 9: IM catalogue merge (F1 key decomposition + pivots)
     def build_im_catalogue() -> DataFrame:
         parts = F.split(F.col("record_id"), "_")
+        # EAS-style FAS family: per-record geometric mean of the two
+        # smoothed horizontal spectra (reference merge_flatfiles.py:296-352
+        # attaches the eas block at record grain) — null above Nyquist.
+        eas = (
+            snr_tbl.filter(F.col("component").isin("000", "090"))
+            .groupBy("record_id")
+            .pivot("component", ["000", "090"])
+            .agg(F.first("fas_signal"))
+            .select(
+                "record_id",
+                F.zip_with("000", "090", lambda a, b: F.sqrt(a * b)).alias("fas"),
+            )
+        )
         return ims.select(
             "record_id",
             "component",
@@ -303,7 +327,8 @@ def run_full_pipeline(
             "AI",
             "Ds575",
             "Ds595",
-        )
+            F.col("pSA").alias("psa"),
+        ).join(eas, "record_id", "left")
 
     im_catalogue = _checkpoint(run, "im_catalogue", build_im_catalogue, spark)
 

@@ -193,29 +193,12 @@ def test_flatfile_wide_csv_roundtrip_at_width(spark, tmp_path):
     flat = spark.read.parquet(run.path("flatfile"))
     n_flat = flat.count()
     assert n_flat > 0
-
-    # attach the pSA/FAS families at (record_id, component) grain —
-    # deterministic from the key, with a null sprinkled in per family to
-    # prove null round-tripping at width
-    def families(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for rid, comp in zip(pdf["record_id"], pdf["component"]):
-                rng = np.random.default_rng(abs(hash((rid, comp))) % 2**32)
-                psa = rng.random(len(PSA_COLS)).tolist()
-                fas = rng.random(len(FAS_COLS)).tolist()
-                if rng.random() < 0.2:
-                    psa[3] = None
-                    fas[7] = None
-                rows.append({"record_id": rid, "component": comp, "psa": psa, "fas": fas})
-            yield pd.DataFrame(rows, columns=["record_id", "component", "psa", "fas"])
-
-    fam = flat.select("record_id", "component").mapInPandas(
-        families, "record_id string, component string, psa array<double>, fas array<double>"
-    )
-    wide = flatfile_wide(flat.join(fam, ["record_id", "component"]))
+    # since round 3 the pipeline itself carries the real families: the
+    # 111-period pSA from the IM stage and the 389-point EAS (geometric
+    # mean of smoothed horizontal FAS, null above Nyquist) — so the export
+    # test runs on genuine DAG output, nulls included
+    assert "psa" in flat.columns and "fas" in flat.columns
+    wide = flatfile_wide(flat)
     assert len(wide.columns) > 500
 
     out = os.path.join(str(tmp_path), "flatfile_wide_csv")
