@@ -755,8 +755,9 @@ def k_snr_fmax_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- The full 13-stage batch DAG (SURVEY §3.1) run hermetically into a
 # per-sf warehouse: catalog → tect → records → waveforms → phase → fmax →
 # IMs → GMC → merge → distances → decluster → flatfile → quality. Returns
-# the quality-filtered flat table; rows-only (the DAG's building blocks
-# are each oracle-checked individually above).
+# the quality-filtered flat table; value-hash-checked against a
+# determinism-pin fixture (the DAG's building blocks are each
+# independently oracle-checked above).
 
 
 PIPELINE_DAG_SQL = (

@@ -6,7 +6,8 @@ The synthetic codec's header fields and constant-fill payloads are pure
 functions of media_id, so metadata decode, resize pooling, and frame
 sampling are DuckDB-oracle-checked end to end — the binary path itself is
 value-verified, not just row-counted. Feature extraction (the NN-embedding
-stub) registers rows-only.
+stub) is value-hash-checked too via its analytic byte-multiset oracle
+(m4, round 2).
 """
 
 from __future__ import annotations
