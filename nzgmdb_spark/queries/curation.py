@@ -25,6 +25,9 @@ registered oracle-checked query over the documents table.
 6. ``text_global_shuffle_rank`` — seeded deterministic epoch permutation
    WITHOUT a global window: per-bucket distributed ranks + a broadcast
    256-row prefix-sum reproduce the naive global row_number exactly.
+7. ``text_weighted_sample`` — Efraimidis–Spirakis weighted sampling
+   without replacement (top-k per language by ln(u)/w, u a counter-based
+   md5 uniform, w the token count): single-pass, seeded, one shuffle.
 """
 
 from __future__ import annotations
@@ -585,4 +588,67 @@ def text_global_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "hx",
         (F.col("before") + F.col("in_bucket_rank")).cast("bigint").alias("shuffle_pos"),
+    )
+
+
+# --- Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+# per-language top-k documents by key ln(u)/w where u is a counter-based
+# md5 uniform and w = token count — the standard way to sample training
+# data proportional to length/quality without a second pass or rejection.
+# Deterministic (seeded by doc_id), one shuffle on the stratum key, rank
+# pushdown via WindowGroupLimit; both engines compute identical doubles.
+
+_WS_SEED = "ws7"
+_WS_K = 5
+_TWO52 = float(1 << 52)
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         (CAST(CAST(('0x' || substr(md5(concat('{_WS_SEED}_',
+              CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) + 0.5)
+           / {_TWO52!r} AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang, n_tok, ln(u) / n_tok AS es_key FROM w
+)
+SELECT lang, doc_id, n_tok,
+       floor(es_key * 1000000.0 + 0.5) / 1000000.0 AS es_key
+FROM keyed
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY es_key DESC, doc_id
+) <= {_WS_K}
+"""
+
+
+@register("text_weighted_sample", sql=WEIGHTED_SAMPLE_SQL, survey=["A1", "O3", "F9"])
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{_WS_SEED}_"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_TWO52)
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    keyed = d.select(
+        "doc_id", "lang", n_tok.alias("n_tok"), (F.log(u) / n_tok).alias("es_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_K)
+        .select("lang", "doc_id", "n_tok", pround(F.col("es_key"), 6).alias("es_key"))
     )
