@@ -80,18 +80,46 @@ _CDF_ALONG_STRIKE = {
     "interface": [0.0, 0.007, 0.034, 0.112, 0.272, 0.5, 0.728, 0.888, 0.966, 0.993, 1.0],
 }
 
-# Per-type relation allocation over sim index [0, N_SIMS). Model names are
-# the published relation names (reference nsims vector, ccldpy.py:1108+).
+# Per-type relation allocation PROPORTIONS (not counts). The reference's
+# published nsims vectors (reference distances.py:175-181) are
+#   crustal   [334, 333, 333, 111, 111, 111]  -> proportions 3:3:3:1:1:1
+#   interface [333, 333]                      -> proportions 1:1
+# and _alloc_counts() apportions any n_sims over these proportions by the
+# largest-remainder method (first-listed model wins fraction ties), which
+# reproduces the reference vectors EXACTLY at the reference totals
+# (1333 crustal -> [334,333,333,111,111,111]; 666 interface -> [333,333]).
 _ALLOC = {
     "crustal": [
-        ("WellsCoppersmith1994", 6), ("Leonard2014", 5),
-        ("ThingbaijamEtAl2017", 5), ("ChiouYoungs2008_WellsCoppersmith1994", 3),
-        ("ChiouYoungs2008_Leonard2014", 3), ("ChiouYoungs2008_ThingbaijamEtAl2017", 3),
+        ("WellsCoppersmith1994", 3), ("Leonard2014", 3),
+        ("ThingbaijamEtAl2017", 3), ("ChiouYoungs2008_WellsCoppersmith1994", 1),
+        ("ChiouYoungs2008_Leonard2014", 1), ("ChiouYoungs2008_ThingbaijamEtAl2017", 1),
     ],
-    "stable": [("Leonard2014", 25)],
-    "interface": [("ThingbaijamEtAl2017", 13), ("ContrerasEtAl2022", 12)],
-    "intraslab": [("ContrerasEtAl2022", 25)],
+    "stable": [("Leonard2014", 1)],
+    "interface": [("ThingbaijamEtAl2017", 1), ("ContrerasEtAl2022", 1)],
+    "intraslab": [("ContrerasEtAl2022", 1)],
 }
+
+
+def _alloc_counts(etype: str, n_sims: int) -> list[tuple[str, int]]:
+    """Largest-remainder apportionment of n_sims over _ALLOC proportions.
+
+    Ties on the fractional remainder go to the earlier-listed model, which
+    is what makes 1333 crustal sims split [334,333,333,111,111,111] (the
+    three 333.25 quotas tie; the first gets the single leftover seat) —
+    bit-identical to the reference's hand-written vector.
+    """
+    alloc = _ALLOC[etype]
+    total_w = sum(w for _, w in alloc)
+    quotas = [(model, n_sims * w / total_w, n_sims * w // total_w) for model, w in alloc]
+    counts = [int(fl) for _, _, fl in quotas]
+    leftover = n_sims - sum(counts)
+    order = sorted(
+        range(len(alloc)),
+        key=lambda i: (-(quotas[i][1] - counts[i]), i),
+    )
+    for i in order[:leftover]:
+        counts[i] += 1
+    return [(model, c) for (model, _w), c in zip(alloc, counts) if c > 0]
 
 
 def _u(dialect: str, parts: str, tag: str) -> str:
@@ -142,19 +170,18 @@ def _piecewise_inv_cdf(p: list[float], u: str) -> str:
 
 def _model_case(alloc_key: str, n_sims: int = N_SIMS) -> str:
     """Relation name for each sim index given the event's tectonic type.
-    Allocation counts are published per-type proportions at the N_SIMS=25
-    base; any multiple of 25 (the reference default 1000 = 25*40,
-    distances.py:175-181) scales them exactly."""
-    if n_sims % 25:
-        raise ValueError(f"n_sims must be a multiple of 25, got {n_sims}")
-    scale = n_sims // 25
+
+    Counts come from _alloc_counts (largest-remainder over the reference's
+    published per-type proportions, distances.py:175-181); any n_sims is
+    valid, and at the reference's own totals the split is bit-identical to
+    its hand-written nsims vectors."""
     branches = []
-    for etype, alloc in _ALLOC.items():
+    for etype in _ALLOC:
         lo = 0
         segs = []
-        for model, n in alloc:
-            segs.append(f"WHEN sim < {lo + n * scale} THEN '{model}'")
-            lo += n * scale
+        for model, n in _alloc_counts(etype, n_sims):
+            segs.append(f"WHEN sim < {lo + n} THEN '{model}'")
+            lo += n
         branches.append(
             f"WHEN {alloc_key} = '{etype}' THEN (CASE " + " ".join(segs) + " END)"
         )
@@ -562,6 +589,11 @@ def ccld_selected_sql(source: str = "events", n_events: int = 200, n_sims: int =
     structure (same IEEE op order), distances rounded to integer meters,
     the per-site median as the exact middle element, and an integer sum
     of squared deviations — bit-for-bit the kernel's selection."""
+    if n_sims % 2 == 0:
+        # Mirror the kernel's guard (ccld_select.select_median_rupture):
+        # the exact-middle-element median is only defined for odd counts,
+        # and rn = n_sims // 2 + 1 would silently pick the upper-middle.
+        raise ValueError(f"sim count must be odd for the exact median pick, got {n_sims}")
     sims = ccld_simulations_sql("duckdb", source=source, n_events=n_events, n_sims=n_sims)
 
     def dot(ux, uy, uz, vx, vy, vz):

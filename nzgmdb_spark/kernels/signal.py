@@ -117,11 +117,19 @@ def sosfilt_fft(sos: np.ndarray, x: np.ndarray, tail_tol: float = 1e-12) -> np.n
     the K3 default band with naive 2n padding). The slowest decay is set
     by the largest pole radius r: |h[k]| ~ r^k, so pad to
     log(tail_tol)/log(r), capped at 2^21 samples (a 0.04 Hz lowcut at
-    fs=50 needs ~14k pad samples for 1e-12)."""
+    fs=50 needs ~14k pad samples for 1e-12).
+
+    The radius is the actual max |root| of each section's denominator
+    a0 z^2 + a1 z + a2 — NOT sqrt(|a2/a0|), which is the geometric mean
+    of the two pole radii and underestimates the decay length for
+    sections with unequal real poles (and degenerates to 0 for
+    first-order sections, a2 = 0)."""
     n = x.shape[-1]
     rmax = 0.0
     for _b0, _b1, _b2, a0, a1, a2 in sos:
-        rmax = max(rmax, float(np.sqrt(abs(a2 / a0))))
+        roots = np.roots([a0, a1, a2]) if a0 != 0.0 else np.roots([a1, a2])
+        if roots.size:
+            rmax = max(rmax, float(np.max(np.abs(roots))))
     if 0.0 < rmax < 1.0:
         npad = int(np.log(tail_tol) / np.log(rmax)) + 1
     else:  # pole on/outside unit circle: fall back to one signal length

@@ -188,12 +188,35 @@ def read_polygon_layer_geojson(
     )
 
 
-def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
+# Default property-key mapping for read_shapefile: output column ->
+# candidate source-layer keys, tried in order. The first group matches the
+# reference's NZ tectonic-domain layer (reference tect_domain.py:336 keys
+# rows by 'Domain_No'/'DomainType'); the lowercase fallbacks cover
+# GeoJSON-converted layers written by this repo's tooling.
+_SHAPEFILE_KEYS = {
+    "name": ("DomainType", "name"),
+    "domain_no": ("Domain_No", "domain_no"),
+}
+
+
+def read_shapefile(
+    spark: SparkSession,
+    path: str,
+    key_map: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
     """S7 shapefile variant (reference tect_domain.py reads the NZ domain
     layer with fiona). Same output shape as read_polygon_layer_geojson:
     one row per polygon, (name, domain_no, vertices array<array<double>>)
     with vertices as [lat, lon]. Skip-if-absent-tested in
-    tests/test_real_artifacts.py — live as soon as fiona is installed."""
+    tests/test_real_artifacts.py — live as soon as fiona is installed.
+
+    Property keys are resolved through key_map (default _SHAPEFILE_KEYS,
+    which accepts the reference layer's 'DomainType'/'Domain_No' names);
+    a feature missing every candidate key RAISES instead of silently
+    defaulting. Only geographic (lon/lat, EPSG:4326) layers are accepted:
+    the reference's TectonicDomains_Feb2021_8_NZTM.shp is NZTM-projected
+    (meters), and interpreting meters as degrees would corrupt every
+    downstream point-in-polygon join — reproject to EPSG:4326 first."""
     try:
         import fiona
     except ImportError as e:
@@ -201,8 +224,28 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
             "fiona not available; convert the layer to GeoJSON and use "
             "read_polygon_layer_geojson"
         ) from e
+    keys = key_map or _SHAPEFILE_KEYS
+
+    def prop(props: dict, out_col: str):
+        for k in keys[out_col]:
+            if k in props:
+                return props[k]
+        raise KeyError(
+            f"shapefile layer {path!r} has none of {keys[out_col]} for "
+            f"output column {out_col!r}; present keys: {sorted(props)}. "
+            "Pass key_map= to read_shapefile."
+        )
+
     rows = []
     with fiona.open(path) as layer:
+        crs = getattr(layer, "crs", None)
+        epsg = crs.to_epsg() if crs is not None and hasattr(crs, "to_epsg") else None
+        if epsg is not None and epsg != 4326:
+            raise ValueError(
+                f"shapefile layer {path!r} is EPSG:{epsg}, not EPSG:4326 "
+                "(lon/lat). Projected coordinates (e.g. NZTM meters) would "
+                "be misread as degrees — reproject the layer first."
+            )
         for feat in layer:
             geom = feat["geometry"]
             props = dict(feat.get("properties") or {})
@@ -217,11 +260,7 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
                 ring = poly[0]  # outer ring, (lon, lat) pairs
                 verts = [[float(la), float(lo)] for lo, la, *_ in ring]
                 rows.append(
-                    (
-                        str(props.get("name", "")),
-                        int(props.get("domain_no", 0)),
-                        verts,
-                    )
+                    (str(prop(props, "name")), int(prop(props, "domain_no")), verts)
                 )
     return spark.createDataFrame(
         rows, "name string, domain_no int, vertices array<array<double>>"

@@ -164,13 +164,14 @@ def test_fmax_within_band(spark):
 
 
 def test_k11_ccld_at_reference_default_1000_sims(spark):
-    """The generated cross-engine SQL program at the reference's default
-    scale — 1000 sims/event (reference distances.py:175-181), not just the
-    N_SIMS=25 test base. Allocation counts scale exactly (25*40); the
-    A11/A12 statistics must stay hash-identical between the Spark and
-    DuckDB programs at 50 events x 1000 sims. Pins both numerics (no
-    precision drift over 40x more draws) and planner viability of the
-    ~40x-larger generated expression tree."""
+    """The generated cross-engine SQL program at a reference-scale sim
+    count — 1000 sims/event, not just the N_SIMS=25 test base. Model
+    allocation is largest-remainder over the reference's published
+    proportions (distances.py:175-181); the A11/A12 statistics must stay
+    hash-identical between the Spark and DuckDB programs at 50 events x
+    1000 sims. Pins both numerics (no precision drift over 40x more
+    draws) and planner viability of the ~40x-larger generated expression
+    tree."""
     import time
 
     from nzgmdb_spark.kernels.ccld_sql import ccld_stats_sql
@@ -192,8 +193,34 @@ def test_k11_ccld_at_reference_default_1000_sims(spark):
     print(f"\nccld 50x1000 spark wall {wall:.1f}s")
 
 
-def test_k11_allocation_rejects_non_multiple_of_base(spark):
-    from nzgmdb_spark.kernels.ccld_sql import ccld_simulations_sql
+def test_k11_alloc_matches_reference_nsims_vectors():
+    """_alloc_counts reproduces the reference's hand-written nsims vectors
+    bit-for-bit at the reference's own per-type totals (reference
+    distances.py:175-181): crustal 1333 -> [334,333,333,111,111,111],
+    interface 666 -> [333,333], intraslab 333 -> [333]. Also pins the
+    tie-break (first-listed model wins the leftover seat) and that odd
+    totals — required by the exact-median selection kernel — apportion
+    without error."""
+    from nzgmdb_spark.kernels.ccld_sql import _alloc_counts
 
-    with pytest.raises(ValueError):
-        ccld_simulations_sql("spark", n_sims=30)
+    assert [c for _, c in _alloc_counts("crustal", 1333)] == [334, 333, 333, 111, 111, 111]
+    assert [c for _, c in _alloc_counts("interface", 666)] == [333, 333]
+    assert [c for _, c in _alloc_counts("intraslab", 333)] == [333]
+    assert [c for _, c in _alloc_counts("stable", 1333)] == [1333]
+    # proportions hold at the repo's own odd test base too
+    assert [c for _, c in _alloc_counts("crustal", 25)] == [7, 6, 6, 2, 2, 2]
+    assert [c for _, c in _alloc_counts("interface", 25)] == [13, 12]
+    for n in (1, 3, 25, 101, 1000, 1333):
+        for etype in ("crustal", "interface", "intraslab", "stable"):
+            counts = _alloc_counts(etype, n)
+            assert sum(c for _, c in counts) == n
+
+
+def test_k11_selected_rejects_even_sim_count():
+    """ccld_selected_sql mirrors the selection kernel's odd-count guard:
+    rn = n_sims // 2 + 1 would silently pick the upper-middle element for
+    even counts, diverging from select_median_rupture's contract."""
+    from nzgmdb_spark.kernels.ccld_sql import ccld_selected_sql
+
+    with pytest.raises(ValueError, match="odd"):
+        ccld_selected_sql(n_sims=30)

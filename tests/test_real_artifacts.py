@@ -109,6 +109,56 @@ def test_fiona_reads_real_shapefile(spark, tmp_path):
     # vertices come back [lat, lon]
     assert rows[0]["vertices"][0] == [-41.0, 174.0]
 
+    # The reference layer's own property names (reference
+    # tect_domain.py:336: 'Domain_No'/'DomainType') resolve via the
+    # default key map — no silent '' / 0 defaults.
+    ref_schema = {
+        "geometry": "Polygon",
+        "properties": {"DomainType": "str", "Domain_No": "int"},
+    }
+    ref_path = os.path.join(str(tmp_path), "ref_keys.shp")
+    with fiona.open(ref_path, "w", driver="ESRI Shapefile", schema=ref_schema) as dst:
+        dst.write(
+            {
+                "geometry": {"type": "Polygon", "coordinates": [ring]},
+                "properties": {"DomainType": "Taupo Volcanic Zone", "Domain_No": 4},
+            }
+        )
+    ref_rows = read_shapefile(spark, ref_path).collect()
+    assert ref_rows[0]["name"] == "Taupo Volcanic Zone"
+    assert ref_rows[0]["domain_no"] == 4
+
+    # A layer missing every candidate key raises instead of defaulting.
+    bad_schema = {"geometry": "Polygon", "properties": {"other": "str"}}
+    bad_path = os.path.join(str(tmp_path), "bad_keys.shp")
+    with fiona.open(bad_path, "w", driver="ESRI Shapefile", schema=bad_schema) as dst:
+        dst.write(
+            {
+                "geometry": {"type": "Polygon", "coordinates": [ring]},
+                "properties": {"other": "x"},
+            }
+        )
+    with pytest.raises(KeyError, match="none of"):
+        read_shapefile(spark, bad_path)
+
+    # A projected (non-4326) layer is rejected — NZTM meters must not be
+    # silently read as degrees.
+    from fiona.crs import CRS
+
+    nztm_path = os.path.join(str(tmp_path), "nztm.shp")
+    nztm_ring = [(1570000.0, 5180000.0), (1600000.0, 5180000.0), (1600000.0, 5200000.0), (1570000.0, 5180000.0)]
+    with fiona.open(
+        nztm_path, "w", driver="ESRI Shapefile", schema=schema, crs=CRS.from_epsg(2193)
+    ) as dst:
+        dst.write(
+            {
+                "geometry": {"type": "Polygon", "coordinates": [nztm_ring]},
+                "properties": {"name": "TVZ", "domain_no": 4},
+            }
+        )
+    with pytest.raises(ValueError, match="EPSG:2193"):
+        read_shapefile(spark, nztm_path)
+
 
 def test_gated_slots_raise_cleanly_without_deps():
     """When the optional deps are absent the slots must fail loudly with an

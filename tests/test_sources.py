@@ -323,7 +323,13 @@ def test_oracle_map_in_sync_with_registry():
     assert set(payload["queries"]) == set(reg), (
         "ORACLE_MAP.json out of date — run PYTHONPATH=. python tools/gen_oracle_map.py"
     )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name, spec in reg.items():
-        assert payload["queries"][name]["oracle_sql"] == spec.sql, name
+        # The map stores fixture paths behind a {REPO_ROOT} placeholder so
+        # it survives checkout relocation; resolve before comparing.
+        mapped = payload["queries"][name]["oracle_sql"]
+        if mapped is not None:
+            mapped = mapped.replace("{REPO_ROOT}", repo_root)
+        assert mapped == spec.sql, name
     assert payload["n_queries"] == len(reg)
     assert payload["n_value_hash"] == sum(1 for s in reg.values() if s.sql)

@@ -20,7 +20,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ORACLE_MAP.json")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO_ROOT, "ORACLE_MAP.json")
+
+
+def _relativize(sql: str | None) -> str | None:
+    """Replace this checkout's absolute path in oracle SQL (golden-fixture
+    read_parquet paths) with a {REPO_ROOT} placeholder so the map works
+    from any checkout location; consumers substitute their own root."""
+    if sql is None:
+        return None
+    return sql.replace(REPO_ROOT, "{REPO_ROOT}")
 
 
 def main():
@@ -35,7 +45,7 @@ def main():
             "check": "value_hash" if spec.sql else "rows_only",
             "survey_ops": list(spec.survey),
             "headline": spec.headline,
-            "oracle_sql": spec.sql,
+            "oracle_sql": _relativize(spec.sql),
             "expected_rows_sf0.01": None,
         }
         if spec.sql is not None:
@@ -64,6 +74,10 @@ def main():
         "compare": (
             "sort columns by name; render floats %.9g, NULL/NaN -> NULL; "
             "sort rows; sha256 — the driver CORRECTNESS contract"
+        ),
+        "path_placeholder": (
+            "{REPO_ROOT} in oracle_sql marks the repo checkout root "
+            "(golden-fixture read_parquet paths); substitute before running"
         ),
         "n_queries": len(entries),
         "n_value_hash": sum(1 for e in entries.values() if e["check"] == "value_hash"),
