@@ -224,6 +224,11 @@ def run_full_pipeline(
 
         # spread records across all cores BEFORE the generate/kernel stages:
         # the parquet boundary preserves this partitioning for SNR/IM too.
+        # Core-count width is CORRECT here (unlike the data-derived
+        # operators/partitioning.spread used for corpus staging): the
+        # input is a tiny record-id list and the stage is compute-bound
+        # Python kernel work whose cost scales with records, not bytes —
+        # one task per core is the right shape at any scale.
         par = spark.sparkContext.defaultParallelism
         return records.repartition(par).mapInPandas(
             gen,

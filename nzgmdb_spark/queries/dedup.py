@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nzgmdb_spark.operators.partitioning import spread
 from nzgmdb_spark.queries.registry import register
 from nzgmdb_spark.tables import tbl
 
@@ -93,7 +94,9 @@ def _tokenize(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # guard: Spark's sequence(0, n) runs DESCENDING for n<0, so docs with
     # <3 tokens must be dropped (DuckDB's generate_series is empty there).
     toks = docs.filter(F.size(w) >= 3).select("doc_id", w.alias("w"))
-    return toks.repartition(spark.sparkContext.defaultParallelism)
+    # width derived from the corpus footprint (floored at core count) —
+    # see operators/partitioning.spread; never a hard-coded constant.
+    return spread(toks)
 
 
 def _grams() -> Column:
@@ -766,8 +769,9 @@ def cosine_neardup_pairs(
 def dedup_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings")
     # Single-file parquet = one partition; spread rows so the explode /
-    # verify stages use every core (cheap one-pass shuffle of the vectors).
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    # verify stages use every core (cheap one-pass shuffle of the
+    # vectors); width tracks the input footprint, not a core constant.
+    e = spread(e)
     return cosine_neardup_pairs(e)
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nzgmdb_spark.functions import pround
+from nzgmdb_spark.operators.partitioning import spread
 from nzgmdb_spark.queries.registry import register
 from nzgmdb_spark.tables import tbl
 
@@ -59,8 +60,10 @@ def _dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single-file parquet = one partition; spread the (cheap, narrow)
     # vector rows BEFORE the 64× explode so every downstream join/agg
     # stage — assignment joins especially — runs on all cores instead of
-    # serializing the exploded long form on one.
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    # serializing the exploded long form on one. Width is derived from
+    # the input footprint with a 16x growth factor for the explode
+    # (operators/partitioning.spread), not a hard-coded core constant.
+    e = spread(e, growth=16.0)
     return e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fv")
     ).select("vec_id", "dim", F.col("fv").cast("double").alias("v"))
@@ -86,11 +89,11 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings in wide form with an exact-decimal L2 norm per vector."""
     e = tbl(spark, sf_dir, "embeddings")
     # Single-file parquet reads as ONE partition → the decimal dot-product
-    # stage would serialize on one core. Unconditional repartition: spreads
-    # rows locally AND acts as the materialization barrier for the cast
-    # vector column (cheaper than an .rdd partition-count probe, which
-    # pays a Python→JVM RDD conversion per query build).
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    # stage would serialize on one core. The repartition spreads rows AND
+    # acts as the materialization barrier for the cast vector column;
+    # width tracks the input footprint (operators/partitioning.spread)
+    # instead of a hard-coded core constant.
+    e = spread(e)
     e = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )

