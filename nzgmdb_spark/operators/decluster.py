@@ -235,6 +235,7 @@ def decluster_distributed(
     max_rounds: int = 64,
     driver_collect_cap: int = 1_000_000,
     b2_on_driver: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed declustering, exact-equivalent to the sequential greedy.
 
@@ -478,10 +479,12 @@ def decluster_distributed(
     # --- Phase A: mainshock-at-turn fixpoint over earlier-priority edges.
     ep = pairs.filter(F.col("k_prio") < F.col("j_prio")).select("k_prio", "j_prio")
     state = e.select("prio").withColumn("m", F.lit(None).cast("boolean"))
+    rounds_a = 0
     for _ in range(max_rounds):
         und = state.filter(F.col("m").isNull()).count()
         if und == 0:
             break
+        rounds_a += 1
         k_state = state.select(
             F.col("prio").alias("k_prio"), F.col("m").alias("k_m")
         )
@@ -512,6 +515,11 @@ def decluster_distributed(
             raise RuntimeError(
                 f"decluster fixpoint did not converge in {max_rounds} rounds"
             )
+
+    if stats is not None:
+        # observability for scale tests: rounds actually used = the
+        # longest claim-chain depth the catalog exhibited
+        stats["rounds_a"] = rounds_a
 
     # --- Phase B1: early claims — min-priority eligible mainshock claims.
     m_true = state.filter(F.col("m")).select(F.col("prio").alias("k_prio"))
@@ -588,6 +596,8 @@ def decluster_distributed(
         for _ in range(max_rounds):
             if pend.count() == 0:
                 break
+            if stats is not None:
+                stats["rounds_b2"] = stats.get("rounds_b2", 0) + 1
             earlier_same_target = pend.select(
                 F.col("k_prio").alias("e_k"), F.col("j_prio").alias("e_j")
             )

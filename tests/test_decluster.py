@@ -331,3 +331,53 @@ def test_b2_equal_magnitude_chain_distributed_and_driver_match_sequential(spark)
         ), f"b2_on_driver={driver_mode}"
     # the structure really is the intended chain: B claims A, D claims C
     assert a_seq == [1, 0, 1, 0]
+
+
+def test_distributed_100k_catalog_bounded_rounds(spark):
+    """Scale evidence for the fixpoint's core claim — rounds = claim-chain
+    depth, NOT catalog size (round-3 review ask #5): a 100k-event catalog
+    (sf0.1 events, 10x the registered query's base) must converge well
+    inside the default 64-round cap, with the round count staying in the
+    same regime as the 10k catalog. Wall time is printed for SCALING.md."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from nzgmdb_spark.operators.decluster import (
+        decluster_distributed,
+        square_corners_col,
+    )
+    from nzgmdb_spark.queries.geo import _LAT, _LON
+    from nzgmdb_spark.queries.kernels_catalog import _MAG
+    from nzgmdb_spark.tables import tbl
+
+    ev = (
+        tbl(spark, "/root/testdata/sf0.1", "events")
+        .select(
+            "event_id",
+            F.expr(_LAT).alias("lat"),
+            F.expr(_LON).alias("lon"),
+            F.col("ts").alias("datetime"),
+        )
+        .withColumn("mag", F.expr(_MAG))
+        .select(
+            F.col("event_id").cast("string").alias("evid"),
+            "datetime", "mag", "lat", "lon",
+        )
+        .withColumn("corners", square_corners_col())
+    )
+    stats: dict = {}
+    t0 = time.monotonic()
+    out = decluster_distributed(ev, crjb_cutoff_km=10.0, stats=stats)
+    n = out.count()
+    wall = time.monotonic() - t0
+    n_after = out.filter(F.col("aftershock_flag") == 1).count()
+    print(
+        f"\ndecluster 100k: {n} events, {n_after} aftershocks, "
+        f"rounds_a={stats['rounds_a']} rounds_b2={stats.get('rounds_b2', 0)} "
+        f"wall {wall:.1f}s"
+    )
+    assert n == 100_000
+    assert 0 < n_after < n
+    # the claim-chain depth bound: must converge far inside the 64 cap
+    assert stats["rounds_a"] <= 32

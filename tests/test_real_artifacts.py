@@ -6,6 +6,14 @@ these tests drive the REAL path so the seams are provably one `pip install`
 from live. In environments without the optional dependency the test skips
 with a visible reason instead of silently not existing — the round-2 review
 asked for exactly this visibility.
+
+Why the skips persist in this sandbox (round-4 review asked to attempt
+`pip install pillow onnxruntime fiona`): the build environment explicitly
+prohibits package installation (no pip/apt; only the baked-in set —
+pyspark, pyarrow, pandas, numpy, duckdb, pytest, hypothesis). The skips
+are therefore environmental by policy, not by a failed install; any
+environment that ships these packages runs the tests live with zero code
+changes.
 """
 
 from __future__ import annotations

@@ -23,6 +23,53 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.path.join(REPO_ROOT, ".scale", "sf1")
 
 
+def _decluster_row(spark, sf_dir: str, n_expected: int) -> dict:
+    """Run the distributed decluster fixpoint on the full events table of
+    sf_dir (same catalog derivation as
+    tests/test_decluster.py::test_distributed_100k_catalog_bounded_rounds)
+    and report wall time + rounds used."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from nzgmdb_spark.operators.decluster import (
+        decluster_distributed,
+        square_corners_col,
+    )
+    from nzgmdb_spark.queries.geo import _LAT, _LON
+    from nzgmdb_spark.queries.kernels_catalog import _MAG
+    from nzgmdb_spark.tables import tbl
+
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.expr(_LAT).alias("lat"),
+            F.expr(_LON).alias("lon"),
+            F.col("ts").alias("datetime"),
+        )
+        .withColumn("mag", F.expr(_MAG))
+        .select(
+            F.col("event_id").cast("string").alias("evid"),
+            "datetime", "mag", "lat", "lon",
+        )
+        .withColumn("corners", square_corners_col())
+    )
+    stats: dict = {}
+    t0 = time.monotonic()
+    out = decluster_distributed(ev, crjb_cutoff_km=10.0, stats=stats)
+    n = out.count()
+    wall = time.monotonic() - t0
+    n_after = out.filter(F.col("aftershock_flag") == 1).count()
+    assert n == n_expected, (n, n_expected)
+    return {
+        "n": n,
+        "aftershocks": n_after,
+        "rounds": stats.get("rounds_a"),
+        "wall": wall,
+    }
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -79,6 +126,32 @@ def main() -> None:
         lines.append(
             f"| {name} | " + " | ".join(cells) + f" | {r_01:.1f}× | {r_1} |"
         )
+    lines.append("")
+    lines.append("## Decluster fixpoint at catalog scale")
+    lines.append("")
+    lines.append(
+        "| catalog | events | aftershocks | fixpoint rounds | wall s |"
+    )
+    lines.append("|---|---|---|---|---|")
+    for label, sf_dir, n_exp in [
+        ("sf0.01 events (10k)", "/root/testdata/sf0.01", 10_000),
+        ("sf0.1 events (100k)", "/root/testdata/sf0.1", 100_000),
+    ]:
+        row = _decluster_row(spark, sf_dir, n_exp)
+        lines.append(
+            f"| {label} | {row['n']} | {row['aftershocks']} | "
+            f"{row['rounds']} | {row['wall']:.1f} |"
+        )
+        print(f"  decluster {label}: {row}")
+    lines.append("")
+    lines.append(
+        "Rounds = longest claim-chain depth, not catalog size — the core "
+        "scalability claim of the distributed fixpoint "
+        "(operators/decluster.py). A 10× larger catalog must not need "
+        "10× the rounds; wall time grows with the pair volume "
+        "(time-bucketed equi-join), each round being one join + "
+        "aggregation."
+    )
     lines.append("")
     lines.append(
         "Each column is 10× the data of the previous. A ratio well under "

@@ -83,15 +83,26 @@ def main() -> None:
             f"SELECT event_id + {{i}} * {s_evt} AS event_id, ts, user_id + {{i}} * {s_user} AS user_id, "
             f"event_type, value, props FROM '{SRC}/events.parquet'"
         ),
+        # Per-replica token suffix rewrites EVERY word, so every shingle
+        # differs across replicas: near-dup structure (and dedup result
+        # cardinality) scales exactly 10x instead of creating artificial
+        # 10-way cross-replica duplicate clusters whose pair count would
+        # grow quadratically in the replica count.
         "documents": (
             f"SELECT doc_id + {{i}} * {s_doc} AS doc_id, "
-            f"CASE WHEN {{i}} = 0 THEN text ELSE text || ' replica{{i}}' END AS text, "
+            f"CASE WHEN {{i}} = 0 THEN text ELSE "
+            f"array_to_string(list_transform(string_split(text, ' '), x -> x || 'r{{i}}'), ' ') END AS text, "
             f"lang, source, n_chars FROM '{SRC}/documents.parquet'"
         ),
+        # Circular shift by replica index = an orthogonal transform applied
+        # uniformly within the replica: intra-replica dot products (and so
+        # the kNN/ANN structure) are preserved bit-for-bit in geometry,
+        # while cross-replica cosines are ~random-vector autocorrelations —
+        # no artificial exact twins across replicas.
         "embeddings": (
             f"SELECT vec_id + {{i}} * {s_vec} AS vec_id, "
             f"CASE WHEN {{i}} = 0 THEN embedding ELSE "
-            f"list_transform(embedding, x -> CAST(x * (1.0 + {{i}} * 1e-4) AS FLOAT)) END AS embedding, "
+            f"list_concat(embedding[{{i}}+1:], embedding[:{{i}}]) END AS embedding, "
             f"label FROM '{SRC}/embeddings.parquet'"
         ),
     }
