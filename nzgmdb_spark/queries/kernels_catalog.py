@@ -696,6 +696,44 @@ def _q9(col: F.Column) -> F.Column:
     return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
 
 
+K6_PSA_FULL_SQL = (
+    "SELECT record_id, component, period_idx, period, psa "
+    f"FROM read_parquet('{_GOLDEN_DIR}/k6_psa_full_grid_expected.parquet')"
+)
+
+
+@register("k6_psa_full_grid", sql=K6_PSA_FULL_SQL, survey=["K6", "F11"])
+def k6_psa_full_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 pSA at the reference's FULL 111-period grid (reference
+    config.yaml psa_periods, ims.py:88-94) for 3 records x 2 horizontal
+    components, value-hash-checked against an mpmath Newmark recurrence
+    recomputed independently per period (tools/gen_goldens.py). Closes
+    the sampled-period gap: a period-dependent Newmark bug between the
+    4 periods pinned by k_signal_ims_pipeline cannot slip through."""
+    from nzgmdb_spark.kernels.spark import ims_for_records, preprocess_records
+    from nzgmdb_spark.plans.flatfile import PSA_PERIODS
+
+    wf = _synth_waveforms(spark, sf_dir, n_records=3)
+    processed = preprocess_records(wf)
+    ims = ims_for_records(processed, periods=np.asarray(PSA_PERIODS))
+    periods_arr = F.array(*[F.lit(float(p)) for p in PSA_PERIODS])
+    return (
+        ims.filter(F.col("component").isin("000", "090"))
+        .select(
+            "record_id",
+            "component",
+            F.posexplode("pSA").alias("period_idx", "psa_raw"),
+        )
+        .select(
+            "record_id",
+            "component",
+            "period_idx",
+            F.element_at(periods_arr, F.col("period_idx") + 1).alias("period"),
+            _q9(F.col("psa_raw")).alias("psa"),
+        )
+    )
+
+
 K4_SNR_FAS_SQL = (
     "SELECT record_id, component, freq_idx, snr, fas_signal, fas_noise "
     f"FROM read_parquet('{_GOLDEN_DIR}/k4_snr_fas_expected.parquet')"

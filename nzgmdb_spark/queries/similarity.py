@@ -141,12 +141,23 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- LSH-bucketed ANN: 8 deterministic hyperplanes whose components are
+# --- LSH-bucketed ANN: 16 deterministic hyperplanes whose components are
 # md5-derived integers in [-7.5, 7.5] (portable pseudo-randomness — no RNG,
-# SURVEY §7.3-4 seeding convention). Docs sharing a query's sign-pattern
-# bucket are scored exactly; recall < 1 by construction, cost ∝ bucket size.
+# SURVEY §7.3-4 seeding convention). BANDED OR-construction (the MinHash-LSH
+# banding trick applied to hyperplane signatures): _N_BANDS independent
+# bands of _PLANES_PER_BAND planes each; a corpus vector is a candidate if
+# it matches the query's sign pattern in ANY band. Single-signature LSH is
+# useless on weak-similarity corpora (per-plane agree probability for a
+# cos-0.3 neighbor is ~0.6, so an 8-plane exact match fires ~2% of the
+# time — measured recall@10 was 0.0 on the isotropic test embeddings);
+# banding turns the same planes into a tunable recall/cost dial:
+# 4 bands x 4 planes gives ~0.4 recall@10 while scoring ~1/5 of the
+# corpus (recall floor pinned in tests/test_properties.py). Candidate
+# generation stays an equi-join on (band, bucket) — never all-pairs.
 
-_N_PLANES = 8
+_N_PLANES = 16
+_N_BANDS = 4
+_PLANES_PER_BAND = _N_PLANES // _N_BANDS
 
 _PLANES_CTE = f"""
 planes AS (
@@ -163,20 +174,21 @@ projs AS (
   GROUP BY d.vec_id, pl.plane
 ),
 buckets AS (
-  SELECT vec_id,
+  SELECT vec_id, plane // {_PLANES_PER_BAND} AS band,
          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
                     ORDER BY plane) AS bucket
-  FROM projs GROUP BY vec_id
+  FROM projs GROUP BY vec_id, plane // {_PLANES_PER_BAND}
 )
 """
 
 ANN_SQL = f"""
 WITH {_NORMS_CTE},
 {_PLANES_CTE},
-qb AS (SELECT vec_id AS q_id, bucket FROM buckets WHERE vec_id < {_N_QUERIES}),
+qb AS (SELECT vec_id AS q_id, band, bucket FROM buckets WHERE vec_id < {_N_QUERIES}),
 cand AS (
-  SELECT qb.q_id, b.vec_id
-  FROM qb JOIN buckets b ON qb.bucket = b.bucket AND b.vec_id <> qb.q_id
+  SELECT DISTINCT qb.q_id, b.vec_id
+  FROM qb JOIN buckets b
+    ON qb.band = b.band AND qb.bucket = b.bucket AND b.vec_id <> qb.q_id
 ),
 qdims AS (SELECT vec_id AS q_id, dim, v AS qv FROM dims WHERE vec_id < {_N_QUERIES}),
 dots AS (
@@ -225,7 +237,10 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     buckets = (
-        projs.groupBy("vec_id")
+        projs.groupBy(
+            "vec_id",
+            (F.col("plane") / F.lit(_PLANES_PER_BAND)).cast("int").alias("band"),
+        )
         .agg(
             F.concat_ws(
                 "",
@@ -239,12 +254,22 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qb = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("bucket").alias("q_bucket")
+        F.col("vec_id").alias("q_id"),
+        F.col("band").alias("q_band"),
+        F.col("bucket").alias("q_bucket"),
     )
+    # OR-construction: a candidate matches in ANY band — distinct collapses
+    # multi-band collisions so each pair is scored exactly once
     cand = (
         F.broadcast(qb)
-        .join(buckets, (F.col("q_bucket") == F.col("bucket")) & (F.col("vec_id") != F.col("q_id")))
+        .join(
+            buckets,
+            (F.col("q_band") == F.col("band"))
+            & (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
         .select("q_id", "vec_id")
+        .distinct()
     )
     qdims = (
         dims.filter(F.col("vec_id") < _N_QUERIES)
@@ -407,12 +432,21 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
 
 @register("ann_ivf_cosine", sql=IVF_SQL, survey=["J14", "J15"], headline=True)
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(spark, sf_dir, nprobe=_N_PROBE)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = _N_PROBE) -> DataFrame:
+    """IVF top-k with a tunable probe budget — the recall/cost dial. At
+    nprobe = _N_CENTROIDS every cell is probed and the result must equal
+    the brute-force top-k exactly (same decimal dot products, same
+    tie-break) — pinned in tests/test_properties.py, which also floors
+    recall@10 at the registered nprobe."""
     ranked, e = _ivf_index(spark, sf_dir)
     cells = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("c_id").alias("cell")
     )
     probes = (
-        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _N_PROBE))
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= nprobe))
         .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("cell"))
     )
     cand = (

@@ -326,3 +326,58 @@ def test_sequence_packing_conserves_tokens(spark):
     assert got == want
     assert (out["window_id"] >= 0).all()
     assert not out.duplicated(["shard", "window_id"]).any()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.select("q_id", "vec_id").collect():
+        out.setdefault(r.q_id, set()).add(r.vec_id)
+    return out
+
+
+def test_ann_recall_floors_vs_bruteforce(spark):
+    """Approximate is an engineering contract, not a shrug (round-3 review
+    ask #6): recall@10 of both ANN operators against the exact brute-force
+    top-10 on the sf0.01 embeddings, with pinned floors. The corpus is
+    ISOTROPIC (top-10 cosines ~0.25-0.4 sit inside the random-pair tail),
+    which is the hostile case for sublinear search — measured means are
+    0.42 (IVF, nprobe=4/16) and 0.38 (banded LSH, 4 bands x 4 planes);
+    floors sit below at 0.30/0.25. Single-signature LSH measured 0.00
+    here, which is what motivated the banded OR-construction."""
+    import statistics
+
+    from nzgmdb_spark.queries import load_registry
+    from tests.conftest import SF_SMALL
+
+    reg = load_registry()
+    truth = _topk_sets(reg["knn_cosine_bruteforce"].fn(spark, SF_SMALL))
+    for name, floor in [("ann_ivf_cosine", 0.30), ("ann_lsh_hyperplane", 0.25)]:
+        got = _topk_sets(reg[name].fn(spark, SF_SMALL))
+        recalls = [
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ]
+        mean = statistics.mean(recalls)
+        print(f"\n{name}: recall@10 mean {mean:.3f} min {min(recalls):.3f}")
+        assert mean >= floor, f"{name} recall@10 {mean:.3f} below floor {floor}"
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark):
+    """The IVF dial's endpoint is exactness: probing every cell
+    (nprobe = ncentroids) must reproduce the brute-force top-10
+    bit-for-bit — same candidates, same decimal-fold cosines, same
+    tie-break — because IVF only ever PARTITIONS the corpus, never
+    approximates the scoring."""
+    from nzgmdb_spark.queries import load_registry
+    from nzgmdb_spark.queries.similarity import _N_CENTROIDS, ivf_topk
+    from tests.conftest import SF_SMALL
+
+    reg = load_registry()
+    brute = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in reg["knn_cosine_bruteforce"].fn(spark, SF_SMALL).collect()
+    }
+    full = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in ivf_topk(spark, SF_SMALL, nprobe=_N_CENTROIDS).collect()
+    }
+    assert full == brute

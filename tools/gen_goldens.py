@@ -528,6 +528,55 @@ def main():
     stage["newmark_input"] = proc0
     stage["newmark_dt"] = np.array([rec0["dt"]])
 
+    # --- K6 FULL-GRID pSA golden: all 111 reference periods
+    # (reference config.yaml psa_periods, ims.py:88-94), 3 records x 2
+    # horizontal components. The 4-period fixture above pins the Newmark
+    # implementation at sampled periods; this one closes the gap where a
+    # period-dependent bug BETWEEN the sampled periods would slip through.
+    # Input is the engine-processed trace (shared), golden is the mpmath
+    # recurrence — so the fixture isolates Newmark fidelity across the
+    # whole period axis.
+    from nzgmdb_spark.kernels.ims import psa_newmark
+    from nzgmdb_spark.plans.flatfile import PSA_PERIODS
+
+    full_rows = []
+    for evid in range(3):
+        rec = synth_record(evid)
+        raw = {
+            "000": np.asarray(rec["acc_000"]),
+            "090": np.asarray(rec["acc_090"]),
+        }
+        dt = rec["dt"]
+        for comp, acc in raw.items():
+            proc = highlow_cut_process(initial_preprocess(acc, dt), dt, None, None)
+            golden = np.array(
+                [float(v) for v in g_newmark_psa(proc, dt, list(PSA_PERIODS))]
+            )
+            engine = psa_newmark(proc, dt, np.asarray(PSA_PERIODS))
+            near = _assert_array_close(
+                f"k6full ev{evid}/{comp}", golden, engine, 1e-9, margins
+            )
+            vals = np.floor(golden * GRID9 + 0.5) / GRID9
+            vals[near] = np.floor(engine[near] * GRID9 + 0.5) / GRID9
+            for i, (p, v) in enumerate(zip(PSA_PERIODS, vals)):
+                full_rows.append(
+                    {
+                        "record_id": rec["record_id"],
+                        "component": comp,
+                        "period_idx": i,
+                        "period": float(p),
+                        "psa": float(v),
+                    }
+                )
+            print(f"  k6 full grid ev{evid}/{comp}: 111 periods pinned")
+    full_pdf = pd.DataFrame(
+        full_rows, columns=["record_id", "component", "period_idx", "period", "psa"]
+    )
+    full_pdf["period_idx"] = full_pdf["period_idx"].astype("int32")
+    full_pdf.to_parquet(
+        os.path.join(GOLDEN_DIR, "k6_psa_full_grid_expected.parquet"), index=False
+    )
+
     np.savez_compressed(os.path.join(GOLDEN_DIR, "stage_vectors.npz"), **stage)
     ims_pdf = pd.DataFrame(
         ims_rows, columns=["record_id", "component", "PGA", "PGV", "CAV", "AI", "Ds575", "Ds595"]
@@ -558,6 +607,7 @@ def main():
             ("k_signal_ims_pipeline", ims_pdf),
             ("k_snr_fmax_pipeline", fmax_pdf),
             ("k4_snr_fas_values", snr_pdf),
+            ("k6_psa_full_grid", full_pdf),
         ]:
             got = reg[qname].fn(spark, "/root/testdata/sf0.01").toPandas()
             issues = compare(got, fixture)
