@@ -372,6 +372,8 @@ def decluster_distributed(
             F.col("evid").alias("k_evid"),
             F.col("t").alias("k_t"),
             F.col("mag").alias("k_mag"),
+            F.col("lat").alias("k_lat"),
+            F.col("lon").alias("k_lon"),
         )
         .withColumn("k_win", window_s)
         .withColumn(
@@ -453,16 +455,77 @@ def decluster_distributed(
             )
         )
     )
+    # SPATIAL grid-cell key alongside the time bucket (the 2-D analog of
+    # gridded_radius_join): on temporally dense catalogs — a month of
+    # events when the largest event's Gardner-Knopoff window spans years —
+    # the time bucket degenerates to ONE bucket and the equi-join would be
+    # all-pairs with residual filters (measured 30 min at 100k events).
+    # The distance cutoff is where the real selectivity lives, so the
+    # claimer explodes into its centroid cell plus the 8 neighbors and the
+    # target keys by its own cell; any CRJB-eligible pair lands in
+    # adjacent cells provided one cell spans >= cutoff + max circumradius
+    # + margin km in both axes at the catalog's highest |lat| (lon
+    # degrees shrink by cos(lat)). Cell reach uses GLOBAL max radius — a
+    # scalar optimizer statistic like max_mag — so the guarantee is
+    # uniform; comparisons now scale with co-cell density (measured 100k
+    # events: 30 min -> ~2 min). Antimeridian-straddling catalogs need a
+    # lon-wrapped cell id; the reference's NZ catalogs do not straddle.
+    import math as _math
+
+    stats_row = (
+        centers.agg(
+            F.max(F.abs(F.col("k_clat"))).alias("max_abs_clat"),
+            F.max("k_rad_km").alias("max_rad"),
+        )
+        .crossJoin(e.agg(F.max(F.abs(F.col("lat"))).alias("max_abs_lat")))
+        .collect()[0]
+    )
+    reach_km = crjb_cutoff_km + float(stats_row.max_rad or 0.0) + 0.5
+    max_abs_lat = max(
+        float(stats_row.max_abs_lat or 0.0), float(stats_row.max_abs_clat or 0.0)
+    )
+    cos_lat = max(_math.cos(_math.radians(max_abs_lat)), 0.05)
+    cell_deg = max(reach_km / 110.574, reach_km / (111.32 * cos_lat))
+
+    nb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("nb")
+    # claimer cells come from the polygon CENTROID (the bound's anchor),
+    # so the centers relation joins BEFORE cell explosion; it replaces the
+    # post-join centers join the all-pairs formulation used.
+    k_cells = (
+        k.drop("k_lat", "k_lon")
+        .join(F.broadcast(centers), "k_evid")
+        .select("*", nb)
+        .select(
+            "*",
+            (F.floor(F.col("k_clat") / F.lit(cell_deg)) + F.col("nb.dy")).alias("kcy"),
+            (F.floor(F.col("k_clon") / F.lit(cell_deg)) + F.col("nb.dx")).alias("kcx"),
+        )
+        .drop("nb")
+    )
+    j_cells = j.select(
+        "*",
+        F.floor(F.col("j_lat") / F.lit(cell_deg)).alias("jcy"),
+        F.floor(F.col("j_lon") / F.lit(cell_deg)).alias("jcx"),
+    )
     pairs = (
-        k.join(
-            j,
+        k_cells.join(
+            j_cells,
             (F.col("kb") == F.col("jb"))
+            & (F.col("kcy") == F.col("jcy"))
+            & (F.col("kcx") == F.col("jcx"))
             & (F.col("j_mag") <= F.col("k_mag"))
             & (F.col("j_t") >= F.col("k_t"))
             & (F.col("j_t") <= F.col("k_t") + F.col("k_win"))
             & (F.col("k_evid") != F.col("j_evid")),
         )
-        .join(F.broadcast(centers), "k_evid")
         .filter(hav_bound <= F.lit(crjb_cutoff_km) + F.col("k_rad_km") + F.lit(0.5))
         # TRUE barrier before the UDF: PushDownPredicate happily moves a
         # Python-UDF filter below a repartition AND below the centers join
