@@ -25,9 +25,14 @@ from pyspark.sql import DataFrame
 
 def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for the optimized plan (file-scan
-    footprint for parquet sources; fallback huge sentinel when unknown)."""
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    return int(stats.sizeInBytes())
+    footprint for parquet sources). Returns 0 when the internal API is
+    unavailable (py4j surface drift) — callers then fall back to the
+    core-count floor, the pre-round-4 behavior."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes())
+    except Exception:  # pragma: no cover — internal API drift
+        return 0
 
 
 def spread_width(df: DataFrame, growth: float = 1.0) -> int:

@@ -78,7 +78,17 @@ GROUP BY event_id, lat, lon, depth
 
 @register("k13_rupture_distances", sql=K13_SQL, survey=["K12", "K13"], headline=True)
 def k13_rupture_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _points(spark, sf_dir).withColumn("depth", F.expr(_DEPTH))
+    from nzgmdb_spark.operators.partitioning import spread
+
+    # The kernel is compute-bound (rows x grid distance matrix), so the
+    # narrow 4-column input must be spread before mapInPandas: a
+    # single-file events parquet reads as 1-6 partitions (sf0.1 = ONE),
+    # which serialized the whole kernel on one core — SCALING.md measured
+    # 12.6x at the 10x sf1 step before this. growth sizes for the widened
+    # per-row work, landing at the core-count floor locally.
+    pts = spread(
+        _points(spark, sf_dir).withColumn("depth", F.expr(_DEPTH)), growth=8.0
+    )
     return rupture_distances(pts, _GRID)
 
 

@@ -126,6 +126,45 @@ def main() -> None:
         lines.append(
             f"| {name} | " + " | ".join(cells) + f" | {r_01:.1f}× | {r_1} |"
         )
+    # --- dedup/ANN family beyond the headline set: sf0.1 -> sf1 ratios
+    # for every member, since these are the operators whose 100 TB story
+    # the engine leads with.
+    family = [
+        "dedup_exact_hash",
+        "dedup_simhash",
+        "dedup_cosine_neardup",
+        "dedup_cluster_cc",
+        "knn_cosine_bruteforce",
+        "ann_lsh_hyperplane",
+    ]
+    fam_rows = []
+    if "sf1" in sfs:
+        for name in family:
+            spec = reg[name]
+            row = {}
+            for sf in ("sf0.1", "sf1"):
+                sf_dir = sfs[sf]
+                spec.fn(spark, sf_dir).collect()  # warm
+                times, rows = [], 0
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    rows = len(spec.fn(spark, sf_dir).collect())
+                    times.append(time.monotonic() - t0)
+                row[sf] = (statistics.median(times), rows)
+                print(f"  {sf} {name}: {row[sf][0]:.2f}s ({rows} rows)")
+            fam_rows.append((name, row))
+        lines.append("")
+        lines.append("## Dedup / ANN family at sf1 (non-headline members)")
+        lines.append("")
+        lines.append("| query | sf0.1 s (rows) | sf1 s (rows) | sf0.1→sf1 |")
+        lines.append("|---|---|---|---|")
+        for name, row in fam_rows:
+            r = row["sf1"][0] / max(row["sf0.1"][0], 1e-9)
+            lines.append(
+                f"| {name} | {row['sf0.1'][0]:.2f} ({row['sf0.1'][1]}) | "
+                f"{row['sf1'][0]:.2f} ({row['sf1'][1]}) | {r:.1f}× |"
+            )
+
     lines.append("")
     lines.append("## Decluster fixpoint at catalog scale")
     lines.append("")
