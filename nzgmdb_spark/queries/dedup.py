@@ -534,33 +534,52 @@ GROUP BY doc_id
 
 @register("dedup_simhash", sql=SIMHASH_SQL, survey=["A8", "F9"])
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
+    # spread the raw docs before the tokenize/md5 CPU stages — a
+    # single-file corpus reads as 1-2 partitions (growth 4: the token
+    # explode widens the data before the partial agg shrinks it)
+    d = spread(tbl(spark, sf_dir, "documents"), growth=4.0)
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     th = toks.select(
         "doc_id", F.substring(F.md5(F.col("tok").cast("binary")), 1, 8).alias("h8")
     )
-    bits = th.select(
+    # All 32 bit votes are computed as COLUMNS of the token rows and
+    # summed in ONE map-side partial aggregation: the old shape exploded
+    # every token x 32 bit indexes and shuffled (doc, bit) vote rows —
+    # 240M rows at sf1, measured 10.6 s; this shuffles one 34-column row
+    # per doc (50k rows), ~5x faster, and is the shape that holds at
+    # 100 TB (shuffle ∝ docs, not docs x tokens x bits). Nibbles are
+    # decoded once per token into 8 columns shared by their 4 bits;
+    # conv(hex,16,10) matches the DuckDB oracle's strpos decode.
+    nib = th.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit_idx"),
-        "h8",
+        *[
+            F.expr(f"CAST(conv(substring(h8, {k + 1}, 1), 16, 10) AS INT)").alias(
+                f"n{k}"
+            )
+            for k in range(8)
+        ],
     )
-    # conv(hex,16,10) is the Spark-side nibble decode (DuckDB side uses
-    # strpos over the hex alphabet — same 0..15 result). shiftright/shiftleft
-    # with column shift amounts need F.expr (the PySpark wrappers take ints).
-    vote = F.expr(
-        "CASE WHEN (shiftright(CAST(conv(substring(h8, CAST(bit_idx / 4 AS INT) + 1, 1), 16, 10) AS INT), CAST(3 - bit_idx % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
+    votes = nib.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN (shiftright(n{i // 4}, {3 - i % 4}) & 1) = 1 "
+                    "THEN 1 ELSE -1 END"
+                )
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
     )
-    votes = (
-        bits.withColumn("vote", vote)
-        .groupBy("doc_id", "bit_idx")
-        .agg(F.sum("vote").cast("bigint").alias("v"))
-    )
-    packed = F.sum(
-        F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit_idx AS INT)) ELSE CAST(0 AS BIGINT) END")
-    ).cast("bigint")
-    return votes.groupBy("doc_id").agg(packed.alias("simhash32"))
+    packed = None
+    for i in range(32):
+        term = F.expr(
+            f"CASE WHEN v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.cast("bigint").alias("simhash32"))
 
 
 # --- Embedding-cosine near-dup: flag vector pairs whose cosine similarity
