@@ -271,33 +271,25 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    qdims = (
-        dims.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "dim", F.col("v").alias("qv"))
+    # Scoring in WIDE form (the kNN/IVF shape): candidates join the wide
+    # vectors once and fold the dot product per-row in DECIMAL. The old
+    # long-form path re-exploded every candidate x 64 (dim, value) rows
+    # through a shuffle + aggregation — measured 7.1 s at sf1; wide-form
+    # is one narrow join + a map-side fold. The (20,12)/(32,12) fold
+    # ladder is exact at scale 12, identical to the oracle's long-form
+    # decimal sum (same guarantee knn_cosine_bruteforce relies on).
+    e = _wide(spark, sf_dir)
+    qw = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
     )
-    dots = (
-        cand.join(F.broadcast(qdims), "q_id")
-        .join(
-            dims.select(
-                F.col("vec_id").alias("d_vec"),
-                F.col("dim").alias("d_dim"),
-                F.col("v"),
-            ),
-            (F.col("d_vec") == F.col("vec_id")) & (F.col("d_dim") == F.col("dim")),
-        )
-        .groupBy("q_id", "vec_id")
-        .agg(
-            F.sum((F.col("qv") * F.col("v")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("q_nrm"))
-    nv = norms.select("vec_id", F.col("nrm").alias("v_nrm"))
     scored = (
-        dots.join(F.broadcast(nq), "q_id")
-        .join(nv, "vec_id")
-        .withColumn("cosine", F.col("dot") / (F.col("q_nrm") * F.col("v_nrm")))
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qw), "q_id")
+        .withColumn(
+            "cosine", _wide_dot("qv", "v") / (F.col("q_nrm") * F.col("nrm"))
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
