@@ -1,0 +1,70 @@
+"""sf10 probe: one more 10x scale point for the linear-scaling evidence.
+
+Generates nothing itself — expects `.scale/sf1` and `.scale/sf10`
+(`PYTHONPATH=. python tools/gen_testdata.py` and
+`PYTHONPATH=. python tools/gen_testdata.py 100 .scale/sf10`), runs a
+representative query set at both, and prints the sf1->sf10 table rows
+for SCALING.md's "sf10 probe" section. Kept separate from
+gen_scaling.py so the default SCALING regen stays ~10 minutes; run this
+when the 60M-row evidence needs refreshing.
+
+Run: PYTHONPATH=. python tools/sf10_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "q1_pricing_summary", "q5_local_supplier_volume", "q3_shipping_priority",
+    "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "k13_rupture_distances", "ann_ivf_cosine",
+    "knn_cosine_bruteforce", "text_quality_score", "t_daily_rollup",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from nzgmdb_spark.queries import load_registry
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .appName("sf10-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_registry()
+    out: dict[str, dict[str, tuple[float, int]]] = {}
+    for sf in ("sf1", "sf10"):
+        sf_dir = os.path.join(REPO_ROOT, ".scale", sf)
+        for name in QUERIES:
+            fn = reg[name].fn
+            fn(spark, sf_dir).collect()  # warm
+            ts, rows = [], 0
+            for _ in range(2):
+                t0 = time.monotonic()
+                rows = len(fn(spark, sf_dir).collect())
+                ts.append(time.monotonic() - t0)
+            out.setdefault(name, {})[sf] = (statistics.median(ts), rows)
+            print(f"  {sf} {name}: {out[name][sf]}", flush=True)
+    print("\n| query | sf1 s (rows) | sf10 s (rows) | sf1→sf10 |")
+    print("|---|---|---|---|")
+    for name, by in out.items():
+        r = by["sf10"][0] / max(by["sf1"][0], 1e-9)
+        print(
+            f"| {name} | {by['sf1'][0]:.2f} ({by['sf1'][1]}) | "
+            f"{by['sf10'][0]:.2f} ({by['sf10'][1]}) | {r:.1f}× |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
