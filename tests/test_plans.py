@@ -447,3 +447,28 @@ def test_spread_width_tracks_input_size(spark):
     target = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
     big_growth = (target * cores * 4) / size
     assert spread_width(docs, growth=big_growth) >= cores * 4
+
+
+def test_round4_optimized_plan_shapes(spark):
+    """Regression guards for the round-4 scale optimizations — each was a
+    measured multi-x win at sf1 and must not silently regress:
+
+    - dedup_simhash: bit votes are 32 aggregate COLUMNS over token rows
+      (one shuffle, one explode); the old shape exploded tokens x 32 bit
+      indexes (a second Generate) and shuffled 240M (doc, bit) rows.
+    - ann_lsh_hyperplane: candidates are scored in WIDE form (zip_with
+      decimal fold), never re-exploded into (dim, value) rows.
+    - dedup_cosine_neardup: the double pre-screen (a Filter with a plain
+      zip_with fold) must survive in front of the decimal verify; without
+      it every bucket-collision candidate pays the 64-term decimal fold.
+    """
+    p = plan_of(spark, "dedup_simhash")
+    assert n_shuffles(p) <= 2, "simhash regained the bit-explode shuffle"
+    assert p.count("Generate explode") == 1, "simhash re-exploded per bit"
+
+    p = plan_of(spark, "ann_lsh_hyperplane")
+    assert p.count("zip_with") >= 1, "LSH scoring lost the wide-form fold"
+
+    p = plan_of(spark, "dedup_cosine_neardup")
+    # fast double fold (pre-screen filter) + exact decimal fold
+    assert p.count("zip_with") >= 2, "cosine verify lost the double pre-screen"
