@@ -4,8 +4,14 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count + a cheap checksum collect) so
-the timing covers the full job, not just plan construction.
+Each query is executed to FULL completion: the timed action computes a
+row count plus an xxhash64 checksum over every output column, so Catalyst
+cannot prune any aggregate/projection expressions out of the timed work.
+(Earlier rounds timed a bare .count(), which let column pruning gut
+expression-heavy queries — q1's decimal aggregates were pruned entirely,
+timing 0.3s for a query whose honest cost is ~1.2s. Round-4 numbers are
+therefore NOT comparable to BENCH_r01-r03 for expression-heavy queries;
+the method note rides in the emitted JSON.)
 """
 
 from __future__ import annotations
@@ -39,8 +45,20 @@ def main() -> None:
     # cluster actually operates in. Then drop any DataFrame-level caches the
     # warm-up populated so the timed pass re-does all data work (only code
     # stays warm, not results).
+    def run_full(df):
+        """Count + full-width checksum: forces every output column (and so
+        every upstream expression) to be computed — .count() alone lets
+        the optimizer prune unreferenced aggregate expressions."""
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c).cast("string") for c in df.columns]
+        row = df.select(
+            F.count(F.lit(1)).alias("n"), F.max(F.xxhash64(*cols)).alias("chk")
+        ).collect()[0]
+        return row.n
+
     for spec in headline.values():
-        spec.fn(spark, sf_dir).count()
+        run_full(spec.fn(spark, sf_dir))
     spark.catalog.clearCache()
 
     # Median of 5 timed runs per query (round-2 judge: 3-run medians still
@@ -51,27 +69,47 @@ def main() -> None:
     # every run re-does all data work.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    timings_count_only: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
         samples = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            n = df.count()
+            n = run_full(df)
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(sorted(samples)[n_runs // 2], 4)
+        # legacy method (bare .count(), rounds 1-3) for cross-round
+        # comparability — column pruning may gut expression-heavy queries,
+        # which is exactly why it is no longer the headline number
+        legacy = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            legacy.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings_count_only[name] = round(sorted(legacy)[n_runs // 2], 4)
         print(
-            f"# {name}: {timings[name]:.3f}s median of "
+            f"# {name}: {timings[name]:.3f}s full / "
+            f"{timings_count_only[name]:.3f}s count-only, median of "
             f"{[round(s, 2) for s in samples]} ({n} rows)",
             file=sys.stderr,
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        "metric": "headline query wall time (median of %d warm runs), local[%s]" % (n_runs, cpus),
+        "metric": "headline query wall time, full evaluation w/ checksum (median of %d warm runs), local[%s]" % (n_runs, cpus),
+        "method_note": (
+            "timed action = count + xxhash64 checksum over all output "
+            "columns (no expression pruning); rounds 1-3 timed bare "
+            ".count(), which under-measured expression-heavy queries "
+            "(q1 0.30s pruned vs ~1.2s honest)"
+        ),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "value_count_only_legacy": round(sum(timings_count_only.values()), 4),
+        "queries_count_only_legacy": timings_count_only,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))
