@@ -14,7 +14,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Wide-enough decimal for 100TB-scale sums of ~1e5-magnitude measures.
-_DECIMAL = "decimal(38,6)"
+# Terms at precision 18 stay in Spark's compact Long-backed decimal
+# representation (precision > 18 forces Decimal128/BigDecimal per row —
+# measured 1.8s vs 1.1s for q1's seven aggregates over 600k rows); the
+# SUM accumulator auto-widens to (28,6), which caps at 10^22 — room for
+# 10^17 rows of 10^5-scale measures. Scale 6 is unchanged, so the
+# quantized per-term values (and therefore the exact sums and the oracle
+# hash) are identical to the old (38,6) terms.
+_DECIMAL = "decimal(18,6)"
 
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:
