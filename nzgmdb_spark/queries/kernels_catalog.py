@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nzgmdb_spark.operators.distances import KX, KY, rupture_distances, tvz_path_fraction
+from nzgmdb_spark.operators.distances import KX, KY, tvz_path_fraction
 from nzgmdb_spark.queries.geo import _LAT, _LON, _points
 from nzgmdb_spark.queries.registry import register
 from nzgmdb_spark.tables import tbl
@@ -78,18 +78,32 @@ GROUP BY event_id, lat, lon, depth
 
 @register("k13_rupture_distances", sql=K13_SQL, survey=["K12", "K13"], headline=True)
 def k13_rupture_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.operators.partitioning import spread
-
-    # The kernel is compute-bound (rows x grid distance matrix), so the
-    # narrow 4-column input must be spread before mapInPandas: a
-    # single-file events parquet reads as 1-6 partitions (sf0.1 = ONE),
-    # which serialized the whole kernel on one core — SCALING.md measured
-    # 12.6x at the 10x sf1 step before this. growth sizes for the widened
-    # per-row work, landing at the core-count floor locally.
-    pts = spread(
-        _points(spark, sf_dir).withColumn("depth", F.expr(_DEPTH)), growth=8.0
+    # The fault grid here is a CONSTANT 18 points, so the whole K13
+    # computation unrolls into a JVM codegen expression — least() over 18
+    # closed-form distances, zero shuffle, zero Python. The Arrow kernel
+    # twin (operators/distances.rupture_distances, used by the K12 srf
+    # path) is the right shape for dense per-rupture meshes (the
+    # reference builds 10-points/km planes, thousands of points), where a
+    # broadcast numpy mesh beats a 1000-term expression tree; for a tiny
+    # constant grid the kernel's cost is pure Arrow round-trip — measured
+    # 75 s vs ~4 s for 10M rows at sf10. Expression order mirrors the
+    # kernel/oracle exactly ((Δlon·KX)·(Δlon·KX) + …), so the values are
+    # bit-identical to both.
+    pts = _points(spark, sf_dir).withColumn("depth", F.expr(_DEPTH))
+    jb_terms = []
+    rup_terms = []
+    for gla, glo, gdp in _PLANES:
+        dx = (F.col("lon") - F.lit(glo)) * F.lit(KX)
+        dy = (F.col("lat") - F.lit(gla)) * F.lit(KY)
+        dz = F.col("depth") - F.lit(gdp)
+        h2 = dx * dx + dy * dy
+        jb_terms.append(F.sqrt(h2))
+        rup_terms.append(F.sqrt(h2 + dz * dz))
+    return pts.select(
+        "event_id", "lat", "lon", "depth",
+        F.least(*jb_terms).alias("r_jb"),
+        F.least(*rup_terms).alias("r_rup"),
     )
-    return rupture_distances(pts, _GRID)
 
 
 # --- K14: TVZ path metrics (Liang-Barsky box clipping, closed form).

@@ -49,7 +49,7 @@ def main() -> None:
             fn = reg[name].fn
             fn(spark, sf_dir).collect()  # warm
             ts, rows = [], 0
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.monotonic()
                 rows = len(fn(spark, sf_dir).collect())
                 ts.append(time.monotonic() - t0)
@@ -60,7 +60,7 @@ def main() -> None:
         "## sf10 probe (60M lineitem / 500k documents / 10M events / 200k embeddings)",
         "",
         "One further 10× point (2.4 GB warehouse, `tools/gen_testdata.py 100 .scale/sf10`,",
-        "measured by `tools/sf10_probe.py`, median of 2 warm runs):",
+        "measured by `tools/sf10_probe.py`, median of 3 warm runs):",
         "",
         "| query | sf1 s (rows) | sf10 s (rows) | sf1→sf10 |",
         "|---|---|---|---|",
