@@ -94,9 +94,16 @@ def _tokenize(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # guard: Spark's sequence(0, n) runs DESCENDING for n<0, so docs with
     # <3 tokens must be dropped (DuckDB's generate_series is empty there).
     toks = docs.filter(F.size(w) >= 3).select("doc_id", w.alias("w"))
-    # width derived from the corpus footprint (floored at core count) —
+    # Width derived from the corpus footprint (floored at core count) —
     # see operators/partitioning.spread; never a hard-coded constant.
-    return spread(toks)
+    # growth=32 sizes the partitions for what happens DOWNSTREAM of this
+    # staging table, not its own bytes: the shingle explode and the
+    # posting-list pair expansion multiply per-task state ~30x (the
+    # pair-grouping aggregate holds every distinct (a, b) pair its task
+    # sees — at 500k docs on input-sized partitions that map was the OOM
+    # at the default local heap). Locally the core-count floor still
+    # wins; at sf10+ (and on a real corpus) the width tracks expansion.
+    return spread(toks, growth=32.0)
 
 
 def _grams() -> Column:

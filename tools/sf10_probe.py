@@ -27,6 +27,20 @@ QUERIES = [
 ]
 
 
+def _run_full(df):
+    """Count + full-width checksum (the bench.py action): forces every
+    output column to be computed without collecting the result set to the
+    driver — .collect() on a 10M-row kernel output times the driver
+    transfer, not the query."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c).cast("string") for c in df.columns]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.xxhash64(*cols)).alias("chk")
+    ).collect()[0]
+    return row.n
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -47,11 +61,11 @@ def main() -> None:
         sf_dir = os.path.join(REPO_ROOT, ".scale", sf)
         for name in QUERIES:
             fn = reg[name].fn
-            fn(spark, sf_dir).collect()  # warm
+            _run_full(fn(spark, sf_dir))  # warm
             ts, rows = [], 0
             for _ in range(3):
                 t0 = time.monotonic()
-                rows = len(fn(spark, sf_dir).collect())
+                rows = _run_full(fn(spark, sf_dir))
                 ts.append(time.monotonic() - t0)
             out.setdefault(name, {})[sf] = (statistics.median(ts), rows)
             print(f"  {sf} {name}: {out[name][sf]}", flush=True)
