@@ -63,18 +63,24 @@ def main() -> None:
             fn = reg[name].fn
             _run_full(fn(spark, sf_dir))  # warm
             ts, rows = [], 0
-            for _ in range(3):
+            for _ in range(4):
                 t0 = time.monotonic()
                 rows = _run_full(fn(spark, sf_dir))
                 ts.append(time.monotonic() - t0)
-            out.setdefault(name, {})[sf] = (statistics.median(ts), rows)
+            # MINIMUM of 4 warm runs: this box is a shared-host microVM
+            # whose CPU steal swings identical runs 2-4x (measured q5
+            # 4.6s/7.0s/19.7s across probe invocations); for a
+            # deterministic workload the minimum is the standard
+            # noise-floor estimator, and the cross-SF RATIO of minima is
+            # the number the scaling claim rests on.
+            out.setdefault(name, {})[sf] = (min(ts), rows)
             print(f"  {sf} {name}: {out[name][sf]}", flush=True)
     lines = [
         "",
         "## sf10 probe (60M lineitem / 500k documents / 10M events / 200k embeddings)",
         "",
         "One further 10× point (2.4 GB warehouse, `tools/gen_testdata.py 100 .scale/sf10`,",
-        "measured by `tools/sf10_probe.py`, median of 3 warm runs):",
+        "measured by `tools/sf10_probe.py`, minimum of 4 warm runs (noise floor on a shared host)):",
         "",
         "| query | sf1 s (rows) | sf10 s (rows) | sf1→sf10 |",
         "|---|---|---|---|",
