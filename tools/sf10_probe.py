@@ -92,17 +92,17 @@ def main() -> None:
             f"{by['sf10'][0]:.2f} ({by['sf10'][1]}) | {r:.1f}× |"
         )
     lines += [
-        "",
-        "Every ratio is at-or-below data-proportional across TWO consecutive 10× steps",
-        "(sf0.1→sf1→sf10): the aggregation/join queries absorb the growth in parallelism",
-        "(2-4×), while the deliberately compute-bound paths (the k13 distance kernel,",
-        "the declared-O(n) brute-force kNN baseline, the per-doc text scorer) track the",
-        "row count (~8-10×) — exactly the profile that extrapolates to a cluster:",
-        "per-core work is bounded, and more data means more partitions, not",
-        "super-linear stages. Result cardinalities scale exactly 10× throughout",
-        "(dedup pairs scale 10× etc.), confirming the replica construction holds",
-        "at 100 replicas.",
-        "",
+        '',
+        'Every ratio is at-or-below data-proportional across TWO consecutive 10× steps',
+        '(sf0.1→sf1→sf10). Aggregation/join queries absorb the growth in parallelism',
+        '(1.3-3.4×); the declared-O(n) brute-force kNN baseline and the posting-list',
+        'pair expansion track their work growth (~4×); nothing is super-linear. The',
+        'k13 distance computation is a flat 1.3× after unrolling its constant grid',
+        'into a codegen expression, and result cardinalities scale exactly 10×',
+        'throughout (dedup pairs 2,480 → 24,795), confirming the replica construction',
+        'holds at 100 replicas. Ratios < 1 are shared-host noise that hit every',
+        'sf1 sample of that query (see the min-of-4 note above).',
+        '',
     ]
     section = "\n".join(lines)
     side = os.path.join(REPO_ROOT, ".scale", "sf10_section.md")
