@@ -21,18 +21,34 @@ from pyspark.sql import functions as F
 # 10^17 rows of 10^5-scale measures. Scale 6 is unchanged, so the
 # quantized per-term values (and therefore the exact sums and the oracle
 # hash) are identical to the old (38,6) terms.
+#
+# CONTRACT — |term| < 1e12: decimal(18,6) holds 12 integer digits, so a
+# per-row term at or beyond 1e12 overflows the cast — under Spark 4's
+# default ANSI mode the query FAILS loudly (the safe behavior); under
+# legacy non-ANSI it becomes NULL and silently vanishes from the
+# "exact" sum (the old (38,6) terms would have absorbed it). Every
+# current measure is ~1e5;
+# tests/test_properties.py::test_dsum_term_domain_guard pins both
+# behaviors so a regression or a config flip is caught.
 _DECIMAL = "decimal(18,6)"
+DSUM_MAX_ABS_TERM = 1e12
 
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:
-    """Exact (order-independent) sum of a double measure, returned as double."""
+    """Exact (order-independent) sum of a double measure, returned as double.
+
+    Terms must satisfy |v| < 1e12 (DSUM_MAX_ABS_TERM) — see the _DECIMAL
+    contract note above; larger terms overflow to NULL and vanish from
+    the sum under non-ANSI mode."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(_DECIMAL)).cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent mean: exact decimal sum divided by count."""
+    """Order-independent mean: exact decimal sum divided by count.
+
+    Same |term| < 1e12 domain as dsum."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(_DECIMAL)).cast("double") / F.count(c)
     return out.alias(alias) if alias else out

@@ -50,6 +50,14 @@ def spread_width(df: DataFrame, growth: float = 1.0) -> int:
         target = 128 * 1024 * 1024
     size = plan_size_bytes(df)
     cores = spark.sparkContext.defaultParallelism
+    # Implausible estimates are treated like missing ones: plans whose
+    # leaves have no computable stats (RDD-backed relations, streaming
+    # sources) report spark.sql.defaultSizeInBytes — Long.MaxValue by
+    # default — and trusting that would clamp to a pathological 200k-task
+    # shuffle. Anything past ~16k target-sized partitions per core is not
+    # a size, it's a sentinel; fall back to the core-count floor.
+    if size >= cores * target * 16_384:
+        size = 0
     want = max(1, int(size * growth // max(target, 1)) + 1)
     return max(cores, min(want, 200_000))
 

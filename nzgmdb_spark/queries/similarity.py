@@ -210,7 +210,14 @@ QUALIFY row_number() OVER (
 
 
 @register("ann_lsh_hyperplane", sql=ANN_SQL, survey=["J14", "J15"])
-def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_hyperplane(
+    spark: SparkSession, sf_dir: str, n_bands: int = _N_BANDS
+) -> DataFrame:
+    """n_bands is the recall/cost dial (more bands of fewer planes =
+    higher recall, more candidates); the registered default and the SQL
+    oracle stay at _N_BANDS — other values exist for the recall-curve
+    measurement (tools/gen_ann_recall_curve.py)."""
+    planes_per_band = _N_PLANES // n_bands
     dims = _dims(spark, sf_dir)
     norms = _norms(dims)
     planes = (
@@ -239,7 +246,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         projs.groupBy(
             "vec_id",
-            (F.col("plane") / F.lit(_PLANES_PER_BAND)).cast("int").alias("band"),
+            (F.col("plane") / F.lit(planes_per_band)).cast("int").alias("band"),
         )
         .agg(
             F.concat_ws(

@@ -381,3 +381,60 @@ def test_distributed_100k_catalog_bounded_rounds(spark):
     assert 0 < n_after < n
     # the claim-chain depth bound: must converge far inside the 64 cap
     assert stats["rounds_a"] <= 32
+
+
+def test_distributed_prune_edges_matches_sequential(spark):
+    # The per-round edge-pruning path only auto-activates past 8M eligible
+    # pairs; force it on a small randomized catalog so its correctness
+    # (dead-edge removal never changes flags) is covered by the suite.
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    events = _random_catalog(150, seed=41)
+    events.sort(key=lambda e: e["evid"])
+    a_seq, c_seq = decluster_catalog(events, crjb_cutoff_km=10.0)
+    df = spark.createDataFrame(
+        [(e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"]) for e in events],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: e["corners"] for e in events}
+    out = decluster_distributed(df, corners, crjb_cutoff_km=10.0, prune_edges=True)
+    got = {r.evid: r for r in out.collect()}
+    evids = [e["evid"] for e in events]
+    assert [got[e].aftershock_flag for e in evids] == a_seq
+    assert _partitions(evids, [got[e].cluster_evid for e in evids]) == _partitions(
+        evids, c_seq
+    )
+
+
+def test_mag_bands_window_upper_bound():
+    # Every band's window must dominate the exact Gardner-Knopoff window of
+    # every magnitude inside the band (including across the 6.5 branch
+    # step), and the raw->merged mapping must cover every raw band exactly
+    # once with a width no smaller than the raw band's own bound.
+    from nzgmdb_spark.operators.decluster import (
+        _mag_bands,
+        gardner_knopoff_window_days,
+    )
+
+    rows = _mag_bands(2.7, 9.3, 0.5)
+    by_raw = {raw: (tb, w) for raw, tb, w in rows}
+    for raw, (tb, wsec) in by_raw.items():
+        lo = raw * 0.5
+        for frac in range(50):
+            m = lo + 0.5 * frac / 50
+            if not (2.7 <= m <= 9.3):
+                continue
+            assert gardner_knopoff_window_days(m) * 86400.0 <= wsec + 1e-6, (
+                raw,
+                m,
+            )
+    # span-aware merging: with a tiny span every band merges into one,
+    # with an infinite span nothing merges
+    merged = _mag_bands(2.7, 9.3, 0.5, t_span_s=1.0)
+    assert len({tb for _, tb, _ in merged}) == 1
+    unmerged = _mag_bands(2.7, 9.3, 0.5, t_span_s=1e18)
+    assert all(raw == tb for raw, tb, _ in unmerged)
+    # merged width dominates each member's raw width
+    raw_w = {raw: w for raw, _, w in _mag_bands(2.7, 9.3, 0.5)}
+    for raw, tb, w in merged:
+        assert w + 1e-9 >= raw_w[raw]

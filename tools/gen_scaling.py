@@ -23,11 +23,26 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.path.join(REPO_ROOT, ".scale", "sf1")
 
 
-def _decluster_row(spark, sf_dir: str, n_expected: int) -> dict:
+def _decluster_row(
+    spark,
+    sf_dir: str,
+    n_expected: int,
+    stretch: float = 1.0,
+    gr_mags: bool = False,
+) -> dict:
     """Run the distributed decluster fixpoint on the full events table of
-    sf_dir (same catalog derivation as
-    tests/test_decluster.py::test_distributed_100k_catalog_bounded_rounds)
-    and report wall time + rounds used."""
+    sf_dir and report wall time + fixpoint rounds + pair volume.
+
+    ``stretch`` scales the catalog's time span around its start (the
+    density-constant growth experiment: 10× events over 10× the years —
+    how real catalogs grow). ``gr_mags`` swaps the uniform synthetic
+    magnitudes for a Gutenberg-Richter b=1 distribution (deterministic
+    from event_id) — the realistic regime where the magnitude-banded
+    eligibility join earns its keep (most events are small, with
+    day-scale claim windows). Wall time for the fixed-window uniform-mag
+    points is NOT comparable across catalog sizes — pair volume there
+    grows ~n² by construction — which is why the table also reports
+    eligible pairs: the honest claim is wall ∝ pairs."""
     import time
 
     from pyspark.sql import functions as F
@@ -40,6 +55,18 @@ def _decluster_row(spark, sf_dir: str, n_expected: int) -> dict:
     from nzgmdb_spark.queries.kernels_catalog import _MAG
     from nzgmdb_spark.tables import tbl
 
+    mag_col = (
+        F.lit(3.0)
+        + F.least(
+            -F.log10(
+                (F.pmod(F.xxhash64(F.col("event_id")), F.lit(1000000)) + 1.0)
+                / 1000000.0
+            ),
+            F.lit(5.9),
+        )
+        if gr_mags
+        else F.expr(_MAG)
+    )
     ev = (
         tbl(spark, sf_dir, "events")
         .select(
@@ -48,13 +75,22 @@ def _decluster_row(spark, sf_dir: str, n_expected: int) -> dict:
             F.expr(_LON).alias("lon"),
             F.col("ts").alias("datetime"),
         )
-        .withColumn("mag", F.expr(_MAG))
+        .withColumn("mag", mag_col)
         .select(
             F.col("event_id").cast("string").alias("evid"),
             "datetime", "mag", "lat", "lon",
         )
         .withColumn("corners", square_corners_col())
     )
+    if stretch != 1.0:
+        t0s = ev.agg(F.min(F.col("datetime").cast("double"))).collect()[0][0]
+        ev = ev.withColumn(
+            "datetime",
+            F.to_timestamp(
+                F.lit(t0s)
+                + (F.col("datetime").cast("double") - F.lit(t0s)) * F.lit(stretch)
+            ),
+        )
     stats: dict = {}
     t0 = time.monotonic()
     out = decluster_distributed(ev, crjb_cutoff_km=10.0, stats=stats)
@@ -66,6 +102,7 @@ def _decluster_row(spark, sf_dir: str, n_expected: int) -> dict:
         "n": n,
         "aftershocks": n_after,
         "rounds": stats.get("rounds_a"),
+        "pairs": stats.get("pairs_eligible"),
         "wall": wall,
     }
 
@@ -180,27 +217,67 @@ def main() -> None:
     lines.append("## Decluster fixpoint at catalog scale")
     lines.append("")
     lines.append(
-        "| catalog | events | aftershocks | fixpoint rounds | wall s |"
+        "**Density-constant growth** (Gutenberg-Richter b=1 magnitudes, "
+        "time span stretched with the catalog — how real catalogs grow: "
+        "10× the events over 10× the years at ~constant rate). Eligible "
+        "pair volume grows ~linearly with the catalog, and wall time "
+        "must track it:"
     )
-    lines.append("|---|---|---|---|---|")
+    lines.append("")
+    lines.append(
+        "| catalog | events | span | eligible pairs | aftershocks | "
+        "fixpoint rounds | wall s |"
+    )
+    lines.append("|---|---|---|---|---|---|---|")
+    dc_points = [
+        ("10k @ 30 d", "/root/testdata/sf0.01", 10_000, 1.0),
+        ("100k @ 300 d", "/root/testdata/sf0.1", 100_000, 10.0),
+    ]
+    if os.path.isdir(SF1_DIR):
+        dc_points.append(("1M @ 3000 d", SF1_DIR, 1_000_000, 100.0))
+    for label, sf_dir, n_exp, stretch in dc_points:
+        row = _decluster_row(spark, sf_dir, n_exp, stretch=stretch, gr_mags=True)
+        lines.append(
+            f"| {label} | {row['n']} | {int(30 * stretch)} d | {row['pairs']} | "
+            f"{row['aftershocks']} | {row['rounds']} | {row['wall']:.1f} |"
+        )
+        print(f"  decluster density-constant {label}: {row}")
+    lines.append("")
+    lines.append(
+        "**Density stress** (fixed 30-day window, uniform magnitudes "
+        "3.0-8.9 — every 10× in events multiplies co-windowed pair "
+        "DENSITY ~10×, so eligible pairs grow ~n² by construction; the "
+        "honest claim for this regime is wall ∝ pairs, which the pair "
+        "column makes checkable):"
+    )
+    lines.append("")
+    lines.append(
+        "| catalog | events | eligible pairs | aftershocks | "
+        "fixpoint rounds | wall s | wall/Mpair s |"
+    )
+    lines.append("|---|---|---|---|---|---|---|")
     for label, sf_dir, n_exp in [
         ("sf0.01 events (10k)", "/root/testdata/sf0.01", 10_000),
         ("sf0.1 events (100k)", "/root/testdata/sf0.1", 100_000),
     ]:
         row = _decluster_row(spark, sf_dir, n_exp)
+        per_mpair = row["wall"] / max(row["pairs"] / 1e6, 1e-9)
         lines.append(
-            f"| {label} | {row['n']} | {row['aftershocks']} | "
-            f"{row['rounds']} | {row['wall']:.1f} |"
+            f"| {label} | {row['n']} | {row['pairs']} | {row['aftershocks']} | "
+            f"{row['rounds']} | {row['wall']:.1f} | {per_mpair:.1f} |"
         )
-        print(f"  decluster {label}: {row}")
+        print(f"  decluster density-stress {label}: {row}")
     lines.append("")
     lines.append(
         "Rounds = longest claim-chain depth, not catalog size — the core "
         "scalability claim of the distributed fixpoint "
         "(operators/decluster.py). A 10× larger catalog must not need "
-        "10× the rounds; wall time grows with the pair volume "
-        "(time-bucketed equi-join), each round being one join + "
-        "aggregation."
+        "10× the rounds; wall time grows with the eligible pair volume "
+        "(magnitude-banded spatial-cell equi-join), each round being one "
+        "join + aggregation, with per-round edge pruning past 8M pairs. "
+        "Pair-volume accounting (stats: pairs_prefilter / pairs_eligible "
+        "/ round_live_edges / per-phase walls) makes the wall ∝ pairs "
+        "claim measurable on any catalog."
     )
     lines.append("")
     lines.append(
