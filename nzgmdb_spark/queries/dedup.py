@@ -819,6 +819,103 @@ def dedup_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(e)
 
 
+# --- Strict-threshold near-dup (VERDICT r4 ask #3): the REGISTERED
+# scaling query at a realistic dup threshold (0.9), so the scaling table
+# reads on the operator, not a demo parameterization. The synthetic
+# embeddings are isotropic — zero genuine pairs at 0.9 (a vacuous 0-row
+# PASS) — so the query PLANTS its own near-duplicates inline: every 10th
+# vector gets a twin (id + 1e9) whose dims are scaled by a deterministic
+# per-dimension factor 1 + 0.04·((dim mod 7) − 3) → cosine ≈ 0.9968 to
+# its original, far above any chaff pair (≤ ~0.5). Output is therefore
+# EXACTLY the planted pair per twin — linear in the corpus — while the
+# operator still runs the full banded-LSH candidate + decimal-verify
+# machinery over the 1.1×n augmented corpus. Both engines derive twins
+# from the same double arithmetic, so the oracle is value-hash-exact.
+
+_STRICT_THRESHOLD = 0.9
+_TWIN_OFFSET = 1_000_000_000
+
+COSINE_NEARDUP_STRICT_SQL = f"""
+WITH dims_base AS (
+  SELECT vec_id, g.i AS dim, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+dims AS (
+  SELECT * FROM dims_base
+  UNION ALL
+  SELECT vec_id + {_TWIN_OFFSET} AS vec_id, dim,
+         v * (CAST(1.0 AS DOUBLE)
+              + CAST(0.04 AS DOUBLE) * (dim % 7 - 3)) AS v
+  FROM dims_base WHERE vec_id % 10 = 0
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+),
+planes AS (
+  SELECT p.j AS plane, g.i AS dim,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(p.j || '_' || g.i), 1, 1)) - 8.5 AS DOUBLE) AS w
+  FROM UNNEST(generate_series(0, {_COS_N_PLANES - 1})) AS p(j),
+       UNNEST(generate_series(0, 63)) AS g(i)
+),
+projs AS (
+  SELECT d.vec_id, pl.plane // {_COS_BAND_BITS} AS band, pl.plane,
+         CAST(sum(CAST(d.v * pl.w AS DECIMAL(38,12))) AS DOUBLE) AS proj
+  FROM dims d JOIN planes pl ON d.dim = pl.dim
+  GROUP BY d.vec_id, pl.plane
+),
+buckets AS (
+  SELECT vec_id, band,
+         string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane) AS bucket
+  FROM projs GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CAST(da.v * db.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN dims da ON da.vec_id = c.id_a
+  JOIN dims db ON db.vec_id = c.id_b AND db.dim = da.dim
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= {_STRICT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_cosine_neardup_strict",
+    sql=COSINE_NEARDUP_STRICT_SQL,
+    survey=["J13", "F11"],
+)
+def dedup_cosine_neardup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(tbl(spark, sf_dir, "embeddings"))
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    twins = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(CAST(1.0 AS DOUBLE) + CAST(0.04 AS DOUBLE) * CAST(i % 7 - 3 AS DOUBLE)))"
+        ).alias("embedding"),
+    )
+    return cosine_neardup_pairs(
+        base.unionByName(twins), threshold=_STRICT_THRESHOLD
+    )
+
+
 # --- End-to-end corpus curation DAG: the canonical training-data prep
 # pipeline composed from the engine's own stages — quality gate → exact
 # dedup → n-gram near-dup drop → deterministic hash split — as ONE

@@ -170,6 +170,7 @@ def main() -> None:
         "dedup_exact_hash",
         "dedup_simhash",
         "dedup_cosine_neardup",
+        "dedup_cosine_neardup_strict",
         "dedup_cluster_cc",
         "knn_cosine_bruteforce",
         "ann_lsh_hyperplane",
