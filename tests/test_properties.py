@@ -450,3 +450,90 @@ def test_ann_recall_floors_clustered(spark):
         assert min(recalls) >= min_floor, (
             f"{name} min recall {min(recalls):.3f} < {min_floor}"
         )
+
+
+def test_capped_band_candidates_invisible_below_cap(spark):
+    """The hot-bucket cap must be INVISIBLE on non-degenerate data: for a
+    relation whose largest bucket is below the cap, the capped candidate
+    generator must emit exactly the plain band-bucket self-join's pair
+    set (operators/lsh.py contract)."""
+    import random
+
+    from nzgmdb_spark.operators.lsh import capped_band_candidates
+
+    rng = random.Random(99)
+    rows = [
+        (i, b, str(rng.randrange(40)))
+        for i in range(300)
+        for b in range(3)
+    ]
+    bands = spark.createDataFrame(rows, "id long, band int, bucket string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in capped_band_candidates(bands, "id", ["band", "bucket"], cap=64)
+        .collect()
+    }
+    a, b = bands.alias("a"), bands.alias("b")
+    from pyspark.sql import functions as F
+
+    plain = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert capped == plain and len(plain) > 0
+
+
+def test_capped_band_candidates_bounds_flood(spark):
+    """A 10k-duplicate flood concentrated in ONE bucket must emit a linear
+    star (9,999 pairs), not a ~50M-pair clique, and every flood member
+    must remain reachable from the bucket representative — the documented
+    no-document-escapes-dedup guarantee."""
+    from nzgmdb_spark.operators.lsh import capped_band_candidates
+
+    n = 10_000
+    bands = spark.range(n).select(
+        F.col("id"), F.lit(0).alias("band"), F.lit("hot").alias("bucket")
+    )
+    out = capped_band_candidates(bands, "id", ["band", "bucket"]).collect()
+    assert len(out) == n - 1
+    assert all(r.id_a == 0 for r in out)
+    assert {r.id_b for r in out} == set(range(1, n))
+
+
+def test_cosine_neardup_flood_wall_bounded(spark):
+    """End-to-end skew hardening: a 5k-identical-vector flood plus chaff
+    through the registered cosine near-dup machinery must finish in
+    bounded time with linear candidate volume — every flood member is
+    flagged as a duplicate (connected to the flood representative), and
+    the output is the star, not the 12.5M-pair clique."""
+    import time
+
+    import numpy as np
+
+    from nzgmdb_spark.queries.dedup import cosine_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    flood_vec = [float(x) for x in rng.normal(size=64)]
+    rows = [(i, flood_vec) for i in range(5000)]
+    rows += [
+        (10_000 + i, [float(x) for x in rng.normal(size=64)]) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    t0 = time.monotonic()
+    pairs = cosine_neardup_pairs(df, threshold=0.9).collect()
+    wall = time.monotonic() - t0
+    flood_pairs = [p for p in pairs if p.id_a < 5000 and p.id_b < 5000]
+    # star around vec_id 0: every flood member is flagged exactly once
+    assert len(flood_pairs) == 4999
+    assert {p.id_b for p in flood_pairs} == set(range(1, 5000))
+    assert all(p.id_a == 0 for p in flood_pairs)
+    # generous bound: the uncapped clique (12.5M verifies) takes minutes
+    assert wall < 120, f"flood path took {wall:.0f}s — cap not effective?"
