@@ -78,6 +78,22 @@ class StageMemoryProbe:
             self.result = {}
 
 
+def run_full(df) -> int:
+    """Honest full-evaluation action for timing: count + full-width
+    xxhash64 checksum. ``.count()`` alone lets Catalyst prune every
+    expression the count doesn't need (bench integrity fix, round 4:
+    q1 measured 0.35 s pruned vs 1.38 s real), and ``.collect()`` on a
+    wide/large output times driver transfer instead of the query (k13 at
+    10M rows: 47 s collect vs 1.1 s compute). Returns the row count."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c).cast("string") for c in df.columns]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.xxhash64(*cols)).alias("chk")
+    ).collect()[0]
+    return row.n
+
+
 def fmt_bytes(n: int) -> str:
     for unit in ("B", "KiB", "MiB", "GiB"):
         if abs(n) < 1024:

@@ -110,6 +110,7 @@ def _decluster_row(
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    from nzgmdb_spark.metrics import run_full
     from nzgmdb_spark.queries import load_registry
 
     sfs = {sf: f"/root/testdata/{sf}" for sf in ("sf0.001", "sf0.01", "sf0.1")}
@@ -130,12 +131,12 @@ def main() -> None:
     results: dict[str, dict[str, tuple[float, int]]] = {}
     for sf, sf_dir in sfs.items():
         for name, spec in headline.items():
-            spec.fn(spark, sf_dir).collect()  # warm
+            run_full(spec.fn(spark, sf_dir))  # warm
             times = []
             rows = 0
             for _ in range(3):
                 t0 = time.monotonic()
-                rows = len(spec.fn(spark, sf_dir).collect())
+                rows = run_full(spec.fn(spark, sf_dir))
                 times.append(time.monotonic() - t0)
             results.setdefault(name, {})[sf] = (statistics.median(times), rows)
             print(f"  {sf} {name}: {statistics.median(times):.2f}s ({rows} rows)")
@@ -143,7 +144,7 @@ def main() -> None:
     lines = [
         "# SCALING — headline queries across scale factors",
         "",
-        "Median of 3 warm runs, local[32]. Regenerate: "
+        "Median of 3 warm runs, local[32], timing the HONEST action (count + full-width xxhash64 checksum via nzgmdb_spark.metrics.run_full — the same method bench.py's primary value uses; .collect() would time driver transfer for wide outputs and bare .count() lets Catalyst prune the measured expressions). Regenerate: "
         "`PYTHONPATH=. python tools/gen_scaling.py` "
         "(sf1 column requires `PYTHONPATH=. python tools/gen_testdata.py` first).",
         "",
@@ -182,11 +183,11 @@ def main() -> None:
             row = {}
             for sf in ("sf0.1", "sf1"):
                 sf_dir = sfs[sf]
-                spec.fn(spark, sf_dir).collect()  # warm
+                run_full(spec.fn(spark, sf_dir))  # warm
                 times, rows = [], 0
                 for _ in range(3):
                     t0 = time.monotonic()
-                    rows = len(spec.fn(spark, sf_dir).collect())
+                    rows = run_full(spec.fn(spark, sf_dir))
                     times.append(time.monotonic() - t0)
                 row[sf] = (statistics.median(times), rows)
                 print(f"  {sf} {name}: {row[sf][0]:.2f}s ({rows} rows)")

@@ -28,17 +28,11 @@ QUERIES = [
 
 
 def _run_full(df):
-    """Count + full-width checksum (the bench.py action): forces every
-    output column to be computed without collecting the result set to the
-    driver — .collect() on a 10M-row kernel output times the driver
-    transfer, not the query."""
-    from pyspark.sql import functions as F
+    """Count + full-width checksum (the bench.py action) — shared impl in
+    nzgmdb_spark.metrics.run_full."""
+    from nzgmdb_spark.metrics import run_full
 
-    cols = [F.col(c).cast("string") for c in df.columns]
-    row = df.select(
-        F.count(F.lit(1)).alias("n"), F.max(F.xxhash64(*cols)).alias("chk")
-    ).collect()[0]
-    return row.n
+    return run_full(df)
 
 
 def main() -> None:
@@ -117,6 +111,37 @@ def main() -> None:
         'throughout (dedup pairs 2,480 → 24,795), confirming the replica construction',
         'holds at 100 replicas. Ratios < 1 are shared-host noise that hit every',
         'sf1 sample of that query (see the min-of-4 note above).',
+        '',
+        'sf10 decluster (VERDICT r4 ask #4): the distributed fixpoint at the',
+        '10M-event catalog, density-constant construction (Gutenberg-Richter',
+        'magnitudes, span stretched to 30,000 days so the event rate matches',
+        'the 10k/30d baseline — how a real century-scale catalog grows):',
+        '',
+        '| catalog | events | eligible pairs | fixpoint rounds | wall s |',
+        '|---|---|---|---|---|',
+    ]
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gen_scaling import _decluster_row
+
+    for label, sf, n_exp, stretch in [
+        ("1M @ 3000 d", "sf1", 1_000_000, 100.0),
+        ("10M @ 30000 d", "sf10", 10_000_000, 1000.0),
+    ]:
+        row = _decluster_row(
+            spark,
+            os.path.join(REPO_ROOT, ".scale", sf),
+            n_exp,
+            stretch=stretch,
+            gr_mags=True,
+        )
+        lines.append(
+            f"| {label} | {row['n']} | {row['pairs']} | {row['rounds']} | "
+            f"{row['wall']:.1f} |"
+        )
+        print(f"  decluster {label}: {row}", flush=True)
+    lines += [
         '',
         'The memory columns come from the Spark UI REST API',
         '(nzgmdb_spark/metrics.StageMemoryProbe): peak exec mem is the max',
