@@ -27,14 +27,26 @@ across the remaining bands; for the drop-duplicates / clustering
 consumers (the dedup pipeline's actual use) there is NO recall loss at
 all — star connectivity is sufficient.
 
-The per-bucket count/min are window functions over the same key the join
-shuffles on, so the cap adds no extra shuffle stage beyond the one the
-candidate join already requires.
+Cost model (round-6 rework): the per-bucket count/min were window
+functions over the full band relation, which forced an exchange + SORT
+of every band row even when NO bucket was hot, and the clique was a
+self-join that re-evaluated the (expensive) band/signature lineage —
+the cap cost ~25% on clean corpora (BENCH_r05 0.99 s → 1.24 s). Now the
+whole operator is ONE hash aggregation: ``collect_list`` packs each
+bucket's ids into a sorted array (map-side partial combine, no sort
+exec, band lineage evaluated exactly once), singleton buckets — the
+overwhelming majority — are filtered before any pair is generated, and
+the clique/star pairs are produced map-side with higher-order array
+functions (``transform`` over index + ``slice``). No self-join, no
+window buffering. Memory bound per task is the largest bucket's id
+array — the same bound the window version already had (window count
+over a partition key buffers the whole key group), so the rework
+strictly removes work.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKET_CAP = 256
@@ -53,21 +65,38 @@ def capped_band_candidates(
     Returns distinct (a_name, b_name) with a < b. See module docstring
     for the exact clique/star semantics and the recall bound.
     """
-    w = Window.partitionBy(*key_cols)
-    bx = (
-        bands.withColumn("_cnt", F.count(F.lit(1)).over(w))
-        .withColumn("_rep", F.min(id_col).over(w))
+    grouped = (
+        bands.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
-    small = bx.filter(F.col("_cnt") <= cap).select(id_col, *key_cols)
-    a = small.alias("a")
-    b = small.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for kc in key_cols:
-        cond = cond & (F.col(f"a.{kc}") == F.col(f"b.{kc}"))
-    clique = a.join(b, cond).select(
-        F.col(f"a.{id_col}").alias(a_name), F.col(f"b.{id_col}").alias(b_name)
+    n = F.size(F.col("_ids"))
+    # Clique: for the i-th id, pair with every later id (array is sorted,
+    # so a < b by construction). Star: pair the bucket minimum with every
+    # other member — B − 1 pairs, linear in the flood size.
+    clique = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), n - i - F.lit(1)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    star = bx.filter(
-        (F.col("_cnt") > cap) & (F.col(id_col) != F.col("_rep"))
-    ).select(F.col("_rep").alias(a_name), F.col(id_col).alias(b_name))
-    return clique.unionByName(star).distinct()
+    star = F.transform(
+        F.slice(F.col("_ids"), F.lit(2), n - F.lit(1)),
+        lambda y: F.struct(
+            F.element_at(F.col("_ids"), 1).alias("a"), y.alias("b")
+        ),
+    )
+    pairs = grouped.select(
+        F.explode(F.when(n <= cap, clique).otherwise(star)).alias("_p")
+    )
+    return (
+        pairs.select(
+            F.col("_p.a").alias(a_name), F.col("_p.b").alias(b_name)
+        )
+        # Duplicate ids landing in one bucket would otherwise self-pair.
+        .filter(F.col(a_name) < F.col(b_name))
+        .distinct()
+    )
