@@ -436,9 +436,13 @@ def test_ann_recall_floors_clustered(spark):
     d = os.path.join(os.path.dirname(__file__), "goldens", "clustered")
     reg = load_registry()
     truth = _topk_sets(reg["knn_cosine_bruteforce"].fn(spark, d))
+    # Floors sit ~0.05-0.10 under the measured values (VERDICT r5 ask #4:
+    # the old 0.90/0.80 and 0.80/0.50 floors would have passed a halving
+    # of LSH min-recall) — tight enough that a real recall regression
+    # trips, loose enough to absorb fixture-level jitter.
     for name, mean_floor, min_floor in [
-        ("ann_ivf_cosine", 0.90, 0.80),
-        ("ann_lsh_hyperplane", 0.80, 0.50),
+        ("ann_ivf_cosine", 0.95, 0.90),
+        ("ann_lsh_hyperplane", 0.90, 0.80),
     ]:
         got = _topk_sets(reg[name].fn(spark, d))
         recalls = [
@@ -539,34 +543,50 @@ def test_cosine_neardup_flood_wall_bounded(spark):
     assert wall < 120, f"flood path took {wall:.0f}s — cap not effective?"
 
 
-def test_memory_envelope_widest_queries(spark):
-    """Memory regression floor (VERDICT r4 ask #6): the two widest
-    registered queries at sf0.1 — dedup_cluster_cc (measured 288 MiB peak
-    execution memory) and dedup_ngram_jaccard (144 MiB) — must stay
-    inside a generous ceiling with ZERO spill. A rewrite that silently
-    inflates a hash join/aggregate's working set (the kind of regression
-    that only shows as an OOM at cluster scale) trips this before it
-    reaches a scale run. Ceilings are ~2.5x the measured values to
-    absorb partitioning jitter, not to give headroom for growth."""
-    from nzgmdb_spark.metrics import StageMemoryProbe
+# Measured peak stage-level execution memory at sf0.1 (StageMemoryProbe
+# around the honest run_full action, local[32]; identical across repeat
+# probes — execution memory is deterministic for a deterministic plan).
+# Ceilings are ~2.5× measured, rounded up to a power-of-two-ish size:
+# tight enough that a rewrite silently inflating a hash join/aggregate's
+# working set (the regression that only shows as an OOM at cluster
+# scale) trips here first, loose enough to absorb partitioning jitter.
+# dedup_cluster_cc is not a headline query but stays pinned as the
+# registry's widest plan. SCALING.md's "Headline memory envelope" table
+# records the measured values this envelope is derived from.
+_MEM_CEILINGS_MIB = {
+    "ann_ivf_cosine": 32,           # measured 12 MiB
+    "dedup_cluster_cc": 768,        # measured 288 MiB
+    "dedup_minhash_lsh": 64,        # measured 24 MiB
+    "dedup_ngram_jaccard": 512,     # measured 192 MiB
+    "k13_rupture_distances": 32,    # measured ~0 (zero-shuffle codegen)
+    "m1_media_metadata_decode": 32, # measured ~0 (mapInPandas, no joins)
+    "q1_pricing_summary": 32,       # measured 9 MiB
+    "q3_shipping_priority": 64,     # measured 27 MiB
+    "q5_local_supplier_volume": 128,  # measured 53 MiB
+    "s14_partitioned_sink_resume": 48,  # measured 16 MiB
+    "t_daily_rollup": 32,           # measured 8 MiB
+    "text_quality_score": 32,       # measured ~0 (map-only expressions)
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MEM_CEILINGS_MIB))
+def test_memory_envelope_headline(spark, name):
+    """Memory regression envelope for EVERY headline query (VERDICT r5
+    ask #5, extending r4's two-query floor): peak execution memory at
+    sf0.1 must stay inside the pinned ceiling with ZERO spill."""
+    from nzgmdb_spark.metrics import StageMemoryProbe, run_full
     from nzgmdb_spark.queries import load_registry
 
     reg = load_registry()
-    ceilings = {
-        "dedup_cluster_cc": 768 * 1024 * 1024,
-        "dedup_ngram_jaccard": 512 * 1024 * 1024,
-    }
-    for name, ceiling in ceilings.items():
-        probe = StageMemoryProbe(spark)
-        with probe:
-            reg[name].fn(spark, "/root/testdata/sf0.1").count()
-        r = probe.result
-        if not r:
-            import pytest
-
-            pytest.skip("Spark UI REST API unavailable — probe degraded")
-        peak = r["peak_exec_mem"]
-        spilled = r["mem_spilled"] + r["disk_spilled"]
-        print(f"\n{name}: peak exec mem {peak/2**20:.0f} MiB, spilled {spilled}")
-        assert peak <= ceiling, f"{name} peak {peak} > ceiling {ceiling}"
-        assert spilled == 0, f"{name} spilled {spilled} bytes at sf0.1"
+    probe = StageMemoryProbe(spark)
+    with probe:
+        run_full(reg[name].fn(spark, "/root/testdata/sf0.1"))
+    r = probe.result
+    if not r:
+        pytest.skip("Spark UI REST API unavailable — probe degraded")
+    peak = r["peak_exec_mem"]
+    spilled = r["mem_spilled"] + r["disk_spilled"]
+    ceiling = _MEM_CEILINGS_MIB[name] * 1024 * 1024
+    print(f"\n{name}: peak exec mem {peak/2**20:.0f} MiB, spilled {spilled}")
+    assert peak <= ceiling, f"{name} peak {peak} > ceiling {ceiling}"
+    assert spilled == 0, f"{name} spilled {spilled} bytes at sf0.1"

@@ -104,6 +104,16 @@ def _decluster_row(
         "rounds": stats.get("rounds_a"),
         "pairs": stats.get("pairs_eligible"),
         "wall": wall,
+        # Per-phase wall attribution (operators/decluster.py stats dict):
+        # t_join = banded spatial-cell candidate equi-join, t_crjb = the
+        # vectorized CRJB distance filter, t_phase_a = the claim fixpoint
+        # rounds, t_b2 = the cluster-merge pass. Persisted so "which
+        # phase blew up" is answerable from the artifact (VERDICT r5
+        # ask #6).
+        "t_join": stats.get("t_join"),
+        "t_crjb": stats.get("t_crjb"),
+        "t_phase_a": stats.get("t_phase_a"),
+        "t_b2": stats.get("t_b2"),
     }
 
 
@@ -126,17 +136,26 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from nzgmdb_spark.metrics import StageMemoryProbe, fmt_bytes
+
     reg = load_registry()
     headline = {n: s for n, s in sorted(reg.items()) if s.headline}
     results: dict[str, dict[str, tuple[float, int]]] = {}
+    mem: dict[str, dict] = {}
     for sf, sf_dir in sfs.items():
         for name, spec in headline.items():
             run_full(spec.fn(spark, sf_dir))  # warm
             times = []
             rows = 0
-            for _ in range(3):
+            for i in range(3):
+                probe = StageMemoryProbe(spark) if sf == "sf0.1" and i == 0 else None
                 t0 = time.monotonic()
-                rows = run_full(spec.fn(spark, sf_dir))
+                if probe:
+                    with probe:
+                        rows = run_full(spec.fn(spark, sf_dir))
+                    mem[name] = probe.result
+                else:
+                    rows = run_full(spec.fn(spark, sf_dir))
                 times.append(time.monotonic() - t0)
             results.setdefault(name, {})[sf] = (statistics.median(times), rows)
             print(f"  {sf} {name}: {statistics.median(times):.2f}s ({rows} rows)")
@@ -215,6 +234,32 @@ def main() -> None:
             "(tests/test_properties.py recall property)."
         )
 
+    if mem:
+        lines.append("")
+        lines.append("## Headline memory envelope at sf0.1")
+        lines.append("")
+        lines.append(
+            "Peak stage-level execution memory + spill per headline query "
+            "(Spark UI REST via nzgmdb_spark.metrics.StageMemoryProbe, one "
+            "probed run at sf0.1). Execution memory is what hash "
+            "joins/aggregates charge against an executor's share — the "
+            "number that decides OOM-or-not at cluster scale; spill ≠ 0 "
+            "means the working set already exceeds the local share at "
+            "this sf. Regression ceilings (~2.5× these peaks, zero spill) "
+            "are pinned for every row in "
+            "tests/test_properties.py::test_memory_envelope_headline."
+        )
+        lines.append("")
+        lines.append("| query | peak exec mem | spilled |")
+        lines.append("|---|---|---|")
+        for name in sorted(mem):
+            m = mem[name] or {}
+            spilled = m.get("mem_spilled", 0) + m.get("disk_spilled", 0)
+            lines.append(
+                f"| {name} | {fmt_bytes(m.get('peak_exec_mem', 0))} | "
+                f"{fmt_bytes(spilled) if spilled else '0'} |"
+            )
+
     lines.append("")
     lines.append("## Decluster fixpoint at catalog scale")
     lines.append("")
@@ -228,9 +273,9 @@ def main() -> None:
     lines.append("")
     lines.append(
         "| catalog | events | span | eligible pairs | aftershocks | "
-        "fixpoint rounds | wall s |"
+        "fixpoint rounds | wall s | pair-join s | crjb s | fixpoint s | merge s |"
     )
-    lines.append("|---|---|---|---|---|---|---|")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
     dc_points = [
         ("10k @ 30 d", "/root/testdata/sf0.01", 10_000, 1.0),
         ("100k @ 300 d", "/root/testdata/sf0.1", 100_000, 10.0),
@@ -241,7 +286,9 @@ def main() -> None:
         row = _decluster_row(spark, sf_dir, n_exp, stretch=stretch, gr_mags=True)
         lines.append(
             f"| {label} | {row['n']} | {int(30 * stretch)} d | {row['pairs']} | "
-            f"{row['aftershocks']} | {row['rounds']} | {row['wall']:.1f} |"
+            f"{row['aftershocks']} | {row['rounds']} | {row['wall']:.1f} | "
+            f"{row['t_join']:.1f} | {row['t_crjb']:.1f} | "
+            f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster density-constant {label}: {row}")
     lines.append("")
@@ -255,9 +302,10 @@ def main() -> None:
     lines.append("")
     lines.append(
         "| catalog | events | eligible pairs | aftershocks | "
-        "fixpoint rounds | wall s | wall/Mpair s |"
+        "fixpoint rounds | wall s | wall/Mpair s | pair-join s | crjb s | "
+        "fixpoint s | merge s |"
     )
-    lines.append("|---|---|---|---|---|---|---|")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
     for label, sf_dir, n_exp in [
         ("sf0.01 events (10k)", "/root/testdata/sf0.01", 10_000),
         ("sf0.1 events (100k)", "/root/testdata/sf0.1", 100_000),
@@ -266,7 +314,9 @@ def main() -> None:
         per_mpair = row["wall"] / max(row["pairs"] / 1e6, 1e-9)
         lines.append(
             f"| {label} | {row['n']} | {row['pairs']} | {row['aftershocks']} | "
-            f"{row['rounds']} | {row['wall']:.1f} | {per_mpair:.1f} |"
+            f"{row['rounds']} | {row['wall']:.1f} | {per_mpair:.1f} | "
+            f"{row['t_join']:.1f} | {row['t_crjb']:.1f} | "
+            f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster density-stress {label}: {row}")
     lines.append("")

@@ -49,10 +49,17 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
+    def copy_atomic(sql: str, t: str) -> None:
+        # Write-then-rename: a killed run leaves a .tmp, never a 0-byte
+        # or truncated table that a later probe silently reads (round-5
+        # postmortem: an interrupted sf10 build left a 0-byte
+        # lineitem.parquet that made the committed table irreproducible).
+        tmp = f"{out_dir}/{t}.parquet.tmp"
+        con.execute(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+        os.replace(tmp, f"{out_dir}/{t}.parquet")
+
     for t in DIMS:
-        con.execute(
-            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
-        )
+        copy_atomic(f"SELECT * FROM '{SRC}/{t}.parquet'", t)
         print(f"  {t}: copied (dim)")
 
     s_cust = stride(con, "customer", "c_custkey")
@@ -109,9 +116,7 @@ def main() -> None:
 
     for t, tmpl in plans.items():
         union = " UNION ALL ".join(tmpl.format(i=i) for i in range(replicas))
-        con.execute(
-            f"COPY ({union}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
-        )
+        copy_atomic(union, t)
         n = con.execute(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
         print(f"  {t}: {n} rows ({replicas}x)")
 
