@@ -70,27 +70,25 @@ def capped_band_candidates(
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
-    n = F.size(F.col("_ids"))
     # Clique: for the i-th id, pair with every later id (array is sorted,
     # so a < b by construction). Star: pair the bucket minimum with every
-    # other member — B − 1 pairs, linear in the flood size.
-    clique = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + F.lit(2), n - i - F.lit(1)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    # other member — B − 1 pairs, linear in the flood size. Built as ONE
+    # SQL expression string: the equivalent Column-object/lambda tree
+    # costs dozens of py4j round-trips per plan build (~0.1 s of driver
+    # wall on every bench iteration); expr() parses it JVM-side in one.
+    clique = (
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+        "y -> named_struct('a', x, 'b', y))))"
     )
-    star = F.transform(
-        F.slice(F.col("_ids"), F.lit(2), n - F.lit(1)),
-        lambda y: F.struct(
-            F.element_at(F.col("_ids"), 1).alias("a"), y.alias("b")
-        ),
+    star = (
+        "transform(slice(_ids, 2, size(_ids) - 1), "
+        "y -> named_struct('a', _ids[0], 'b', y))"
     )
     pairs = grouped.select(
-        F.explode(F.when(n <= cap, clique).otherwise(star)).alias("_p")
+        F.explode(
+            F.expr(f"CASE WHEN size(_ids) <= {cap} THEN {clique} ELSE {star} END")
+        ).alias("_p")
     )
     return (
         pairs.select(

@@ -330,6 +330,28 @@ _B = [1000003 * k + 12345 for k in range(_N_HASH)]
 
 
 
+def _affine_min_sql() -> list[str]:
+    """The 8 per-hash minima as SQL expression strings (for selectExpr).
+
+    a*h + b stays < 2^61 (h < 2^52 from 13 hex chars, a < 300), so no
+    bigint overflow under ANSI mode on either engine.
+    """
+    return [
+        f"array_min(transform(hs, h -> pmod({_A[k]}L * h + {_B[k]}L, {_MOD}L)))"
+        f" AS h{k}"
+        for k in range(_N_HASH)
+    ]
+
+
+def _band_inline_sql() -> str:
+    """inline() the (band_idx, h_even, h_odd) band rows in one expression."""
+    structs = ", ".join(
+        f"named_struct('band_idx', {j}, 'h_even', h{2 * j}, 'h_odd', h{2 * j + 1})"
+        for j in range(_BANDS)
+    )
+    return f"inline(array({structs}))"
+
+
 _MINHASH_STAGE_CACHE: dict = {}
 
 
@@ -445,34 +467,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh plan.
     hashed = _minhash_stage(spark, sf_dir)
     docs_g = hashed.select("doc_id", "g")
-    def _affine_min(k: int):
-        a, b = _A[k], _B[k]
-        return F.array_min(
-            F.transform("hs", lambda h: F.pmod(a * h + b, F.lit(_MOD)))
-        ).alias(f"h{k}")
-
-    sigs = hashed.select("doc_id", "n", *[_affine_min(k) for k in range(_N_HASH)])
-    band_rows = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"),
-                        F.concat_ws(
-                            "_",
-                            F.col(f"h{2 * j}").cast("string"),
-                            F.col(f"h{2 * j + 1}").cast("string"),
-                        ).alias("band_hash"),
-                    )
-                    for j in range(_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_hash")
+    # Band key = the raw (band_idx, h_even, h_odd) bigint triple. The
+    # oracle SQL string-concats the two minima into one varchar key;
+    # grouping on the numeric columns directly is the same partition of
+    # rows (concat with a separator is injective on the pair) without
+    # materializing a ~40-char string per band row — at sf0.1 the string
+    # keys cost ~0.1 s of the candidate stage, at 100 TB they double the
+    # shuffle-key bytes of the one corpus-wide exchange for nothing.
+    # Everything is selectExpr SQL strings, not Column-lambda trees: the
+    # 8 transform() lambdas built via py4j cost ~0.3 s of driver wall
+    # PER PLAN BUILD; the SQL text parses JVM-side in one round-trip.
+    sigs = hashed.selectExpr("doc_id", "n", *_affine_min_sql())
+    band_rows = sigs.selectExpr("doc_id", _band_inline_sql())
     # Hot-bucket-capped candidate join (operators/lsh.py): identical to
-    # the plain (band_idx, band_hash) self-join on non-degenerate data,
-    # but a duplicate flood that concentrates one bucket emits a linear
+    # the plain band-key self-join on non-degenerate data, but a
+    # duplicate flood that concentrates one bucket emits a linear
     # star instead of a quadratic clique — the oracle hash is unchanged
     # because the test corpora never reach the cap.
     from nzgmdb_spark.operators.lsh import capped_band_candidates
@@ -480,7 +489,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = capped_band_candidates(
         band_rows,
         "doc_id",
-        ["band_idx", "band_hash"],
+        ["band_idx", "h_even", "h_odd"],
         a_name="doc_a",
         b_name="doc_b",
     )
@@ -1074,31 +1083,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = _minhash_stage(spark, sf_dir)
     docs_g = hashed.select("doc_id", "g")
 
-    def _affine_min(k: int):
-        a, b = _A[k], _B[k]
-        return F.array_min(
-            F.transform("hs", lambda h: F.pmod(a * h + b, F.lit(_MOD)))
-        ).alias(f"h{k}")
-
-    sigs = hashed.select("doc_id", *[_affine_min(k) for k in range(_N_HASH)])
-    band_rows = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"),
-                        F.concat_ws(
-                            "_",
-                            F.col(f"h{2 * j}").cast("string"),
-                            F.col(f"h{2 * j + 1}").cast("string"),
-                        ).alias("band_hash"),
-                    )
-                    for j in range(_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_hash")
+    # Numeric (band_idx, h_even, h_odd) band key, built as SQL text —
+    # same injective partition of rows as the oracle's string concat,
+    # without paying a per-band-row varchar on the index-probe join key
+    # (see dedup_minhash_lsh for the full rationale).
+    sigs = hashed.selectExpr("doc_id", *_affine_min_sql())
+    band_rows = sigs.selectExpr("doc_id", _band_inline_sql())
     new_bands = band_rows.filter(F.col("doc_id") % 5 == 0)
     corpus_bands = band_rows.filter(F.col("doc_id") % 5 != 0)
     cand = (
@@ -1106,7 +1096,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             corpus_bands.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
+            & (F.col("a.h_even") == F.col("b.h_even"))
+            & (F.col("a.h_odd") == F.col("b.h_odd")),
         )
         .select(
             F.col("a.doc_id").alias("new_doc"),
