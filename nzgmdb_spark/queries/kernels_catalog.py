@@ -89,20 +89,34 @@ def k13_rupture_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 75 s vs ~4 s for 10M rows at sf10. Expression order mirrors the
     # kernel/oracle exactly ((Δlon·KX)·(Δlon·KX) + …), so the values are
     # bit-identical to both.
+    # Built as ONE selectExpr SQL string: the equivalent Column tree is
+    # ~120 py4j round-trips (6 ops × 18 planes) costing ~0.2 s of driver
+    # wall per plan build. Term text uses the same left-associative
+    # ((Δ·K)·(Δ·K) + …) grouping as the Column tree and the oracle, and
+    # the same CAST('repr' AS DOUBLE) literals as _KX/_KY, so each
+    # distance is the identical IEEE op sequence — bit-exact results.
     pts = _points(spark, sf_dir).withColumn("depth", F.expr(_DEPTH))
     jb_terms = []
     rup_terms = []
     for gla, glo, gdp in _PLANES:
-        dx = (F.col("lon") - F.lit(glo)) * F.lit(KX)
-        dy = (F.col("lat") - F.lit(gla)) * F.lit(KY)
-        dz = F.col("depth") - F.lit(gdp)
-        h2 = dx * dx + dy * dy
-        jb_terms.append(F.sqrt(h2))
-        rup_terms.append(F.sqrt(h2 + dz * dz))
-    return pts.select(
+        dx2 = (
+            f"(lon - CAST('{glo!r}' AS DOUBLE)) * {_KX}"
+            f" * ((lon - CAST('{glo!r}' AS DOUBLE)) * {_KX})"
+        )
+        dy2 = (
+            f"(lat - CAST('{gla!r}' AS DOUBLE)) * {_KY}"
+            f" * ((lat - CAST('{gla!r}' AS DOUBLE)) * {_KY})"
+        )
+        dz2 = (
+            f"(depth - CAST('{gdp!r}' AS DOUBLE))"
+            f" * (depth - CAST('{gdp!r}' AS DOUBLE))"
+        )
+        jb_terms.append(f"SQRT({dx2} + {dy2})")
+        rup_terms.append(f"SQRT({dx2} + {dy2} + {dz2})")
+    return pts.selectExpr(
         "event_id", "lat", "lon", "depth",
-        F.least(*jb_terms).alias("r_jb"),
-        F.least(*rup_terms).alias("r_rup"),
+        f"least({', '.join(jb_terms)}) AS r_jb",
+        f"least({', '.join(rup_terms)}) AS r_rup",
     )
 
 

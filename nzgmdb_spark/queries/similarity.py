@@ -97,14 +97,19 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    norm = F.sqrt(
+    return e.withColumn("nrm", _wide_norm_col())
+
+
+def _wide_norm_col() -> Column:
+    """Exact-decimal L2 norm of the wide ``v`` column (same fold ladder
+    as _wide_dot, so Spark and DuckDB agree bit-for-bit)."""
+    return F.sqrt(
         F.aggregate(
             F.transform(F.col("v"), lambda x: (x * x).cast(_DEC_TERM)),
             F.lit(0).cast(_DEC_ACC),
             lambda acc, x: (acc + x).cast(_DEC_ACC),
         ).cast("double")
     )
-    return e.withColumn("nrm", norm)
 
 
 def _wide_dot(a: str, b: str) -> Column:
@@ -509,6 +514,165 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.min("nrm"), 6).alias("min_norm"),
             pround(F.max("nrm"), 6).alias("max_norm"),
         )
+    )
+
+
+# --- SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the corpus with the IVF codebook, then compare pairs ONLY within
+# a cluster — the published recipe for embedding-level dedup at web scale,
+# where the clustering (not hashing) provides the candidate blocking. A
+# vector is a semantic duplicate if some lower-id vector in its cluster has
+# cosine ≥ τ; we keep the lowest id as the representative (the paper keeps
+# the member farthest from the centroid — an arbitrary-but-fixed priority;
+# id-priority is the deterministic, oracle-checkable equivalent).
+#
+# The synthetic embeddings are isotropic — zero genuine pairs at τ = 0.9
+# would make the check vacuous — so, exactly like
+# dedup_cosine_neardup_strict, the query PLANTS its duplicates: every 10th
+# vector gets a twin (id + 1e9, per-dim factor 1 + 0.04·((dim mod 7) − 3),
+# cosine ≈ 0.9968). A twin's nearest centroid is its original's, so the
+# cluster blocking must co-locate each planted pair and the output is
+# exactly one row per twin — linear in the corpus.
+#
+# Scale shape (100 TB): cell assignment is the broadcast-codebook map-side
+# pass (at cluster scale, the persisted IVF index table); the within-cell
+# pair expansion goes through the hot-bucket-capped generator
+# (operators/lsh.py), so one mega-cluster degrades to linear star pairs
+# instead of |cell|² — the same skew bound the paper applies by capping
+# cluster sizes. Verification touches candidate pairs only.
+
+_SEMDEDUP_TAU = 0.9
+_SEM_TWIN_OFFSET = 1_000_000_000
+
+SEMDEDUP_SQL = f"""
+WITH dims_base AS (
+  SELECT vec_id, g.i AS dim, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS g(i)
+),
+dims AS (
+  SELECT * FROM dims_base
+  UNION ALL
+  SELECT vec_id + {_SEM_TWIN_OFFSET} AS vec_id, dim,
+         v * (CAST(1.0 AS DOUBLE)
+              + CAST(0.04 AS DOUBLE) * (dim % 7 - 3)) AS v
+  FROM dims_base WHERE vec_id % 10 = 0
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+),
+cdims AS (
+  SELECT vec_id AS c_id, dim, v AS cv FROM dims
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _N_CENTROIDS}
+),
+adots AS (
+  SELECT d.vec_id, c.c_id,
+         CAST(sum(CAST(d.v * c.cv AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims d JOIN cdims c ON d.dim = c.dim
+  GROUP BY d.vec_id, c.c_id
+),
+ascored AS (
+  SELECT a.vec_id, a.c_id, a.dot / (nv.nrm * nc.nrm) AS ccos
+  FROM adots a
+  JOIN norms nv ON nv.vec_id = a.vec_id
+  JOIN norms nc ON nc.vec_id = a.c_id
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM ascored
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC, c_id
+  ) = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+pdots AS (
+  SELECT p.vec_a, p.vec_b,
+         CAST(sum(CAST(da.v * db.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN dims da ON da.vec_id = p.vec_a
+  JOIN dims db ON db.vec_id = p.vec_b AND db.dim = da.dim
+  GROUP BY p.vec_a, p.vec_b
+),
+sims AS (
+  SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cosine
+  FROM pdots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+  WHERE d.dot / (na.nrm * nb.nrm) >= {_SEMDEDUP_TAU}
+)
+SELECT vec_b AS vec_id, min(vec_a) AS rep_id,
+       floor(max(cosine) * 1000000.0 + 0.5) / 1000000.0 AS max_cosine
+FROM sims GROUP BY vec_b
+"""
+
+
+@register("dedup_semantic_semdedup", sql=SEMDEDUP_SQL, survey=["J13", "A6"])
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.lsh import capped_band_candidates
+    from nzgmdb_spark.operators.partitioning import spread
+    from nzgmdb_spark.tables import tbl
+
+    e = spread(tbl(spark, sf_dir, "embeddings"))
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    twins = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(_SEM_TWIN_OFFSET)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(CAST(1.0 AS DOUBLE) + CAST(0.04 AS DOUBLE) * CAST(i % 7 - 3 AS DOUBLE)))"
+        ).alias("v"),
+    )
+    aug = base.unionByName(twins).withColumn("nrm", _wide_norm_col())
+    cw = aug.filter(
+        (F.col("vec_id") >= _N_QUERIES)
+        & (F.col("vec_id") < _N_QUERIES + _N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    # Broadcast 16-row codebook fan-out — the IVF assignment plan shape
+    # (see _ivf_index); map-side, the corpus never shuffles for it.
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id")
+    )
+    cells = (
+        aug.crossJoin(F.broadcast(cw))
+        .withColumn("ccos", _wide_dot("v", "cv") / (F.col("nrm") * F.col("c_nrm")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("cell"))
+    )
+    # Cap is invisible at correctness SF (cells ≪ 256 members); above it
+    # a flood cell emits star pairs around its min id, which still marks
+    # every member as a duplicate of the representative.
+    cand = capped_band_candidates(
+        cells, "vec_id", ["cell"], a_name="vec_a", b_name="vec_b"
+    )
+    wa = aug.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    wb = aug.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = (
+        cand.join(wa, "vec_a")
+        .join(wb, "vec_b")
+        .withColumn("cosine", _wide_dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+    )
+    return sims.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("rep_id"),
+        pround(F.max("cosine"), 6).alias("max_cosine"),
     )
 
 

@@ -380,6 +380,7 @@ _BNLJ_ALLOWED = {
     "dedup_cosine_neardup",  # broadcast plane table (band generation)
     "a_approx_quantile_sketch",  # 1-row exact-vs-sketch bound row
     "ann_ivf_cosine",  # broadcast 16-row codebook fan-out
+    "dedup_semantic_semdedup",  # same broadcast codebook fan-out (IVF cells)
     "k9_k10_fetch_window",  # broadcast 1-row model constants
     "q15_top_supplier",  # TPC-H: 1-row max-revenue scalar
     "q20_share_threshold",  # TPC-H: 1-row share threshold

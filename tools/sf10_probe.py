@@ -102,15 +102,15 @@ def main() -> None:
         )
     lines += [
         '',
-        'Every ratio is at-or-below data-proportional across TWO consecutive 10× steps',
-        '(sf0.1→sf1→sf10). Aggregation/join queries absorb the growth in parallelism',
-        '(1.3-3.4×); the declared-O(n) brute-force kNN baseline and the posting-list',
-        'pair expansion track their work growth (~4×); nothing is super-linear. The',
-        'k13 distance computation is a flat 1.3× after unrolling its constant grid',
-        'into a codegen expression, and result cardinalities scale exactly 10×',
-        'throughout (dedup pairs 2,480 → 24,795), confirming the replica construction',
-        'holds at 100 replicas. Ratios < 1 are shared-host noise that hit every',
-        'sf1 sample of that query (see the min-of-4 note above).',
+        'Interpretation guide (verify against the measured column above before',
+        'citing): a ratio at-or-below 10× is at-or-below data-proportional;',
+        'aggregation/join queries typically absorb much of the growth in',
+        'parallelism, while the declared-O(n) brute-force kNN baseline and the',
+        'posting-list pair expansion track their (super-row) work growth by',
+        'construction. Result cardinalities must scale exactly 10× per step,',
+        'confirming the replica construction holds at 100 replicas. Ratios < 1',
+        'are shared-host noise that hit every sf1 sample of that query (see the',
+        'min-of-4 note above).',
         '',
         'sf10 decluster (VERDICT r4 ask #4): the distributed fixpoint at the',
         '10M-event catalog, density-constant construction (Gutenberg-Richter',
