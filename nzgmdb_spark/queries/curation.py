@@ -652,3 +652,161 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _WS_K)
         .select("lang", "doc_id", "n_tok", pround(F.col("es_key"), 6).alias("es_key"))
     )
+
+
+# --- DSIR importance selection (Xie et al. 2023, arXiv:2302.03169): the
+# published data-selection recipe — hashed n-gram bag features, importance
+# weight p_target/p_raw per document from two smoothed bucket
+# distributions, Gumbel-perturbed top-k resampling. Here the "target
+# domain" is a deterministic corpus slice (doc_id % 20 = 0, the stand-in
+# for a Wikipedia-quality target set) and the raw distribution is the
+# whole corpus; both engines derive identical doubles (integer counts →
+# one double division → ln), per-feature log-ratios are cast to
+# DECIMAL(38,12) before the per-doc sum so reduction order is irrelevant,
+# and the Gumbel noise is the counter-based md5 uniform already used by
+# the CCLD kernel (kernels/ccld_sql.py template).
+#
+# Plan shape at 100 TB: feature hashing is map-side; the two bucket
+# distributions are one aggregation each over the hashed feature stream
+# (4096-row result); the log-ratio table broadcasts to score every doc in
+# a single map-side join + groupBy — no corpus-wide shuffle beyond the
+# per-doc aggregation. Top-k is TakeOrderedAndProject (heap, not a global
+# sort).
+
+_DSIR_BUCKETS = 4096
+_DSIR_K = 200
+_DSIR_TGT_MOD = 20
+
+DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, UNNEST(t) AS f FROM toks
+    UNION ALL
+    SELECT doc_id, t[i] || '_' || t[i + 1] AS f
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  )
+),
+tgt AS (
+  SELECT b, count(*) AS c FROM feats WHERE doc_id % {_DSIR_TGT_MOD} = 0 GROUP BY b
+),
+raw AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM feats WHERE doc_id % {_DSIR_TGT_MOD} = 0) AS nt,
+         (SELECT count(*) FROM feats) AS nr
+),
+lograt AS (
+  SELECT r.b,
+         CAST(ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+                 / (tot.nt + {_DSIR_BUCKETS}))
+              - ln(CAST(r.c + 1 AS DOUBLE) / (tot.nr + {_DSIR_BUCKETS}))
+           AS DECIMAL(38, 12)) AS lr
+  FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot
+),
+logw AS (
+  SELECT f.doc_id, sum(l.lr) AS lw
+  FROM feats f JOIN lograt l ON l.b = f.b
+  GROUP BY f.doc_id
+),
+keyed AS (
+  SELECT doc_id, lw,
+         lw + CAST(-ln(-ln(
+             (CAST(('0x' || substr(md5('dsir_' || CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) + 0.5) / 4503599627370496.0))
+           AS DECIMAL(38, 12)) AS gk
+  FROM logw
+)
+SELECT doc_id,
+       floor(CAST(lw AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
+       floor(CAST(gk AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS gumbel_key
+FROM keyed
+QUALIFY row_number() OVER (ORDER BY gk DESC, doc_id) <= {_DSIR_K}
+"""
+
+
+@register("dsir_importance_select", sql=DSIR_SQL, survey=["A2", "F9", "J1", "O3"])
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    toks = d.select("doc_id", t.alias("t"))
+    unis = toks.select("doc_id", F.explode("t").alias("f"))
+    bis = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), '_', element_at(t, i + 1)))"
+            )
+        ).alias("f"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % _DSIR_BUCKETS
+    )
+    feats = unis.unionByName(bis).select("doc_id", bucket.alias("b"))
+    tgt = (
+        feats.filter(F.col("doc_id") % _DSIR_TGT_MOD == 0)
+        .groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = feats.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum((F.col("doc_id") % _DSIR_TGT_MOD == 0).cast("bigint")).alias("nt"),
+    )
+    lograt = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + F.lit(_DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + F.lit(_DSIR_BUCKETS))
+                )
+            ).cast("decimal(38,12)").alias("lr"),
+        )
+    )
+    logw = (
+        feats.join(F.broadcast(lograt), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("lw"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("dsir_"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_TWO52)
+    keyed = logw.select(
+        "doc_id",
+        "lw",
+        (F.col("lw") + (-F.log(-F.log(u))).cast("decimal(38,12)")).alias("gk"),
+    )
+    w = Window.orderBy(F.col("gk").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DSIR_K)
+        .select(
+            "doc_id",
+            pround(F.col("lw").cast("double"), 6).alias("log_weight"),
+            pround(F.col("gk").cast("double"), 6).alias("gumbel_key"),
+        )
+    )

@@ -386,6 +386,7 @@ _BNLJ_ALLOWED = {
     "q20_share_threshold",  # TPC-H: 1-row share threshold
     "text_search_topk",  # broadcast 1-row corpus-size scalar
     "text_unigram_logprob",  # broadcast 1-row token-total scalar
+    "dsir_importance_select",  # broadcast 1-row feature-total scalar
     # broadcast 1-row query-norm scalar in candidate generation (was hidden
     # behind an eager localCheckpoint before the round-3 kernel re-shape)
     "mmr_diversified_topk",
