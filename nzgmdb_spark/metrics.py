@@ -72,6 +72,15 @@ class StageMemoryProbe:
                 ),
                 "mem_spilled": sum(s.get("memoryBytesSpilled", 0) for s in new),
                 "disk_spilled": sum(s.get("diskBytesSpilled", 0) for s in new),
+                # Total bytes through shuffle per query — THE quantity to
+                # minimize at cluster scale (every byte here crosses the
+                # network on a real cluster; local mode just writes it to
+                # disk). Write ≈ read for a healthy plan; read ≫ write
+                # would mean a stage re-reads shuffle output repeatedly.
+                "shuffle_write": sum(
+                    s.get("shuffleWriteBytes", 0) for s in new
+                ),
+                "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in new),
                 "n_stages": len(new),
             }
         except Exception:  # pragma: no cover

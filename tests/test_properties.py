@@ -568,6 +568,29 @@ _MEM_CEILINGS_MIB = {
     "text_quality_score": 32,       # measured ~0 (map-only expressions)
 }
 
+# Shuffle-WRITE ceilings (KiB), ~4× the measured sf0.1 bytes: the bytes a
+# query pushes through exchanges are what a real cluster pays network
+# for, and the cheapest regressions to miss locally are exactly the ones
+# that explode them — a dimension join losing its broadcast (q5 moves
+# 558 B today; losing one broadcast makes that ~20 MiB), a map-side
+# aggregate degrading to a raw-row shuffle, a candidate generator
+# shuffling the corpus instead of candidates. Wall time barely moves at
+# sf0.1 when that happens; this envelope trips instead.
+_SHUFFLE_CEILINGS_KIB = {
+    "ann_ivf_cosine": 8,            # measured 1.0 KiB
+    "dedup_cluster_cc": 131_072,    # iterative fixpoint: edges per round
+    "dedup_minhash_lsh": 3_072,     # measured 742 KiB (band exchange)
+    "dedup_ngram_jaccard": 106_496, # measured 26.4 MiB (posting lists)
+    "k13_rupture_distances": 4,     # measured 65 B (zero-shuffle codegen)
+    "m1_media_metadata_decode": 4,  # measured 63 B
+    "q1_pricing_summary": 8,        # measured 1.3 KiB (partial-agg rows)
+    "q3_shipping_priority": 1_536,  # measured 305 KiB
+    "q5_local_supplier_volume": 8,  # measured 558 B — all dims broadcast
+    "s14_partitioned_sink_resume": 4,   # measured 260 B
+    "t_daily_rollup": 32,           # measured 7.4 KiB
+    "text_quality_score": 4,        # measured 64 B (map-only)
+}
+
 
 @pytest.mark.parametrize("name", sorted(_MEM_CEILINGS_MIB))
 def test_memory_envelope_headline(spark, name):
@@ -587,6 +610,15 @@ def test_memory_envelope_headline(spark, name):
     peak = r["peak_exec_mem"]
     spilled = r["mem_spilled"] + r["disk_spilled"]
     ceiling = _MEM_CEILINGS_MIB[name] * 1024 * 1024
-    print(f"\n{name}: peak exec mem {peak/2**20:.0f} MiB, spilled {spilled}")
+    sw = r.get("shuffle_write", 0)
+    sw_ceiling = _SHUFFLE_CEILINGS_KIB[name] * 1024
+    print(
+        f"\n{name}: peak exec mem {peak/2**20:.0f} MiB, spilled {spilled}, "
+        f"shuffle write {sw/1024:.1f} KiB"
+    )
     assert peak <= ceiling, f"{name} peak {peak} > ceiling {ceiling}"
     assert spilled == 0, f"{name} spilled {spilled} bytes at sf0.1"
+    assert sw <= sw_ceiling, (
+        f"{name} shuffled {sw} bytes > ceiling {sw_ceiling} — a broadcast "
+        f"lost or a map-side stage now shuffling raw rows?"
+    )

@@ -245,19 +245,27 @@ def main() -> None:
             "joins/aggregates charge against an executor's share — the "
             "number that decides OOM-or-not at cluster scale; spill ≠ 0 "
             "means the working set already exceeds the local share at "
-            "this sf. Regression ceilings (~2.5× these peaks, zero spill) "
-            "are pinned for every row in "
+            "this sf. Shuffle write/read are the total bytes each query "
+            "pushes through exchanges — the quantity a 1000-executor "
+            "cluster pays network for, so a query whose shuffle bytes "
+            "rival its input scan has a plan problem regardless of local "
+            "wall time. Regression ceilings (~2.5× these peaks, zero "
+            "spill) are pinned for every row in "
             "tests/test_properties.py::test_memory_envelope_headline."
         )
         lines.append("")
-        lines.append("| query | peak exec mem | spilled |")
-        lines.append("|---|---|---|")
+        lines.append(
+            "| query | peak exec mem | spilled | shuffle write | shuffle read |"
+        )
+        lines.append("|---|---|---|---|---|")
         for name in sorted(mem):
             m = mem[name] or {}
             spilled = m.get("mem_spilled", 0) + m.get("disk_spilled", 0)
             lines.append(
                 f"| {name} | {fmt_bytes(m.get('peak_exec_mem', 0))} | "
-                f"{fmt_bytes(spilled) if spilled else '0'} |"
+                f"{fmt_bytes(spilled) if spilled else '0'} | "
+                f"{fmt_bytes(m.get('shuffle_write', 0))} | "
+                f"{fmt_bytes(m.get('shuffle_read', 0))} |"
             )
 
     lines.append("")
