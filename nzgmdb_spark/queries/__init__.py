@@ -30,6 +30,7 @@ _MODULES = (
     "nzgmdb_spark.queries.sketches",
     "nzgmdb_spark.queries.scale_ops",
     "nzgmdb_spark.queries.curation",
+    "nzgmdb_spark.queries.corpus_stats",
 )
 
 

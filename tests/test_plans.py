@@ -378,6 +378,8 @@ _BNLJ_ALLOWED = {
     "text_tfidf_top_terms",  # broadcast 1-row corpus-size scalar
     "embedding_label_stats",  # broadcast 1-row global stats
     "dedup_cosine_neardup",  # broadcast plane table (band generation)
+    "text_bigram_perplexity",  # broadcast 1-row total-token scalar
+    "text_pmi_collocations",  # broadcast 1-row pair/token-total scalars
     "a_approx_quantile_sketch",  # 1-row exact-vs-sketch bound row
     "ann_ivf_cosine",  # broadcast 16-row codebook fan-out
     "dedup_semantic_semdedup",  # same broadcast codebook fan-out (IVF cells)
