@@ -939,3 +939,185 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cluster_size"),
         )
     )
+
+
+# --- Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search"): the embedding is split into _PQ_M
+# subspaces of _PQ_DSUB dims; each subvector is replaced by the id of its
+# nearest codeword from a per-subspace codebook of _PQ_K entries, and
+# query-to-candidate cosines (vectors are L2-normalized first, so inner
+# product = cosine) are approximated by ADC (asymmetric distance
+# computation): one small lookup table of query-to-codeword dot products
+# per subspace, then a sum of _PQ_M table entries per candidate.
+#
+# This is THE storage story for ANN at 100 TB: a 64-dim float corpus
+# (256 B/vector) compresses to _PQ_M code bytes (8 B/vector, 32x), and
+# scoring never touches the raw corpus vectors — the scan reads only the
+# code columns (column pruning does the rest). Plan shape: codebook
+# "training" is a deterministic corpus sample (the _PQ_K smallest
+# vec_ids — the production recipe k-means-refines it; the assignment and
+# ADC topology are identical), broadcast everywhere; code assignment is
+# one broadcast join + partial-agg argmin (min(struct), shuffle-free
+# below the per-vector agg); the ADC scoring join touches codes ×
+# queries, never corpus × corpus. Determinism: every dot/distance is the
+# decimal fold ladder (_DEC_TERM/_DEC_ACC) so Spark and DuckDB produce
+# bit-identical doubles; argmin ties break on codeword id.
+#
+# ADC alone cannot rank WITHIN a codeword cell: when the codebook has one
+# codeword per natural cluster, every member of a cluster gets the same
+# ADC score (measured recall@10 0.1 on the clustered fixture). The
+# production recipe (IVF-PQ / DiskANN alike) is therefore SHORTLIST +
+# EXACT RERANK: ADC ranks a _PQ_SHORTLIST of candidates from codes only,
+# then exact cosines are computed for just those shortlist rows — the
+# only point where raw vectors are read, shortlist-sized, never
+# corpus-sized. Measured recall@10 after rerank: see
+# tests/test_properties.py floors.
+
+_PQ_M = 8
+_PQ_DSUB = 8
+_PQ_K = 64
+_PQ_SHORTLIST = 100
+
+PQ_SQL = f"""
+WITH {_NORMS_CTE},
+sdims AS (
+  SELECT d.vec_id, dim // {_PQ_DSUB} AS m, dim % {_PQ_DSUB} AS dd,
+         d.v / n.nrm AS v
+  FROM dims d JOIN norms n ON n.vec_id = d.vec_id
+),
+cent AS (SELECT vec_id AS cid, m, dd, v AS wv FROM sdims WHERE vec_id < {_PQ_K}),
+dist AS (
+  SELECT s.vec_id, s.m, c.cid,
+         CAST(sum(CAST((s.v - c.wv) * (s.v - c.wv) AS DECIMAL(38,12))) AS DOUBLE) AS dist
+  FROM sdims s JOIN cent c ON c.m = s.m AND c.dd = s.dd
+  GROUP BY s.vec_id, s.m, c.cid
+),
+codes AS (
+  SELECT vec_id, m, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+),
+lut AS (
+  SELECT s.vec_id AS q_id, s.m, c.cid,
+         CAST(sum(CAST(s.v * c.wv AS DECIMAL(38,12))) AS DOUBLE) AS ipd
+  FROM sdims s JOIN cent c ON c.m = s.m AND c.dd = s.dd
+  WHERE s.vec_id < {_N_QUERIES}
+  GROUP BY s.vec_id, s.m, c.cid
+),
+adc AS (
+  SELECT l.q_id, co.vec_id,
+         CAST(sum(CAST(l.ipd AS DECIMAL(38,12))) AS DOUBLE) AS approx_cos
+  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
+  WHERE l.q_id <> co.vec_id
+  GROUP BY l.q_id, co.vec_id
+),
+short AS (
+  SELECT q_id, vec_id, approx_cos FROM adc
+  QUALIFY row_number() OVER (
+    PARTITION BY q_id ORDER BY approx_cos DESC, vec_id
+  ) <= {_PQ_SHORTLIST}
+),
+ndims AS (
+  SELECT d.vec_id, d.dim, d.v / n.nrm AS v
+  FROM dims d JOIN norms n ON n.vec_id = d.vec_id
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, s.approx_cos,
+         CAST(sum(CAST(qd.v * cd.v AS DECIMAL(38,12))) AS DOUBLE) AS cosine
+  FROM short s
+  JOIN ndims qd ON qd.vec_id = s.q_id
+  JOIN ndims cd ON cd.vec_id = s.vec_id AND cd.dim = qd.dim
+  GROUP BY s.q_id, s.vec_id, s.approx_cos
+)
+SELECT q_id, vec_id, approx_cos, cosine FROM rerank
+QUALIFY row_number() OVER (
+  PARTITION BY q_id ORDER BY cosine DESC, vec_id
+) <= {_TOP_K}
+"""
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv: array<double>[_PQ_DSUB]) — wide L2-NORMALIZED
+    subvector form. Normalizing before quantization makes ADC inner
+    products equal cosines, so PQ ranking targets the same metric as the
+    brute-force truth (the standard cosine-metric PQ recipe)."""
+    base = _wide(spark, sf_dir)
+    vn = F.transform("v", lambda x: x / F.col("nrm"))
+    return base.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        vn.alias("v"),
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("sv"),
+    )
+
+
+def _wide_sqdist(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC_TERM)),
+        F.lit(0).cast(_DEC_ACC),
+        lambda acc, x: (acc + x).cast(_DEC_ACC),
+    ).cast("double")
+
+
+@register("ann_pq_adc", sql=PQ_SQL, survey=["J14", "J15", "A1"])
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _pq_subvectors(spark, sf_dir)
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("wv")
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", _wide_sqdist("sv", "wv").alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "cid")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.cid").alias("cid"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select("q_id", "m", "cid", _wide_dot("sv", "wv").alias("ipd"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(F.col("ipd").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("approx_cos")
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.col("approx_cos").desc(), F.col("vec_id")
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .drop("rn")
+    )
+    # Exact rerank: the ONLY stage that reads raw vectors, and it reads
+    # them for shortlist rows only (shortlist × join — at cluster scale a
+    # broadcast of the shortlist ids against the vector table).
+    base = _wide(spark, sf_dir)
+    nvec = base.select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("nv")
+    )
+    qvec = nvec.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("nv").alias("qv")
+    )
+    rer = (
+        short.join(nvec, "vec_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id", "vec_id", "approx_cos", _wide_dot("qv", "nv").alias("cosine")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "vec_id", "approx_cos", "cosine")
+    )

@@ -443,6 +443,10 @@ def test_ann_recall_floors_clustered(spark):
     for name, mean_floor, min_floor in [
         ("ann_ivf_cosine", 0.95, 0.90),
         ("ann_lsh_hyperplane", 0.90, 0.80),
+        # PQ-ADC + exact rerank: measured 0.92 mean / 0.80 min clustered
+        # (and 0.90 on the isotropic sf0.01 testdata). Floors ~0.05-0.10
+        # under measurement, same calibration rule as above.
+        ("ann_pq_adc", 0.85, 0.75),
     ]:
         got = _topk_sets(reg[name].fn(spark, d))
         recalls = [
