@@ -358,3 +358,192 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+# --- Temperature-scaled mixture sampling (the multilingual-corpus
+# balancing recipe of mT5 / XLM-R, arXiv:2010.11934 §3.1): language l
+# is sampled proportionally to p_l^alpha rather than p_l, boosting
+# low-resource languages. alpha = 0.5 here, i.e. weights = sqrt(n_l) —
+# sqrt is IEEE-correctly-rounded on both engines, so quotas are exactly
+# deterministic (a pow(x, 0.3) would be libm-dependent in the last
+# ulp). The budget is half the corpus; per-language quotas are filled
+# by an md5-keyed uniform ranking (the portable-pseudo-randomness
+# convention), capped at the language's own size.
+#
+# Plan shape at 100 TB: the language histogram is one map-side
+# combinable agg producing a languages-sized relation (broadcast); the
+# selection is one window per language (hash-partitioned on lang, the
+# natural shard key) + a broadcast join against the quota table.
+
+TEMP_SAMPLE_SQL = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (
+  SELECT CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+         CAST(sum(n) AS BIGINT) // 2 AS budget
+  FROM counts
+),
+quotas AS (
+  SELECT c.lang, c.n,
+         CAST(floor(t.budget * (sqrt(CAST(c.n AS DOUBLE)) / t.sw) + 0.5)
+              AS BIGINT) AS quota
+  FROM counts c CROSS JOIN tot t
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('temp_' || CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT), doc_id
+         ) AS samp_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.samp_rank
+FROM ranked r JOIN quotas q ON q.lang = r.lang
+WHERE r.samp_rank <= LEAST(q.quota, q.n)
+"""
+
+
+@register("sample_temperature_mixture", sql=TEMP_SAMPLE_SQL, survey=["A2", "P7", "W3"])
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.tables import tbl
+
+    d = tbl(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n").cast("double")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sw"),
+        F.expr("CAST(sum(n) DIV 2 AS BIGINT)").alias("budget"),
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.floor(
+            F.col("budget") * (F.sqrt(F.col("n").cast("double")) / F.col("sw"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("temp_"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(bucket, F.col("doc_id")))
+        .alias("samp_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("samp_rank") <= F.least("quota", "n"))
+        .select("doc_id", "lang", "samp_rank")
+    )
+
+
+# --- Content-defined chunking (the FastCDC/rsync family of
+# rolling-hash chunkers, applied at token granularity): a chunk
+# boundary falls AFTER any token whose md5-derived hash is 0 mod
+# _CDC_MOD, so chunk boundaries are a function of CONTENT, not
+# position — an insertion near the head of a document shifts every
+# fixed-stride segment but leaves all downstream CDC chunks (and
+# therefore their dedup hashes) intact. That shift-robustness is why
+# storage dedup uses CDC; here it complements the fixed 16-token
+# segments of dedup_segment_rewrite. Output: per-doc chunk count,
+# max chunk length, and how many of the doc's chunks also occur
+# elsewhere in the corpus (shift-robust duplication signal).
+#
+# Plan shape at 100 TB: boundary flags and chunk ids are per-doc
+# window cumulative sums (partition = one document), chunk assembly is
+# a per-(doc, chunk) agg, and the dup check is the same
+# count-per-text + join-back shape as text_duplicate_spans — all
+# map-side combinable, no all-pairs.
+
+_CDC_MOD = 8
+
+CDC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i] AS tok,
+         CASE WHEN CAST(('0x' || substr(md5('cdc_' || t[i]), 1, 8)) AS BIGINT)
+                   % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS bnd
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(generate_series(1, len(t))) AS g(i)
+),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         CAST(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) - bnd AS BIGINT) AS chunk_idx
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         string_agg(tok, ' ' ORDER BY pos) AS s,
+         count(*) AS n_tok
+  FROM chunked GROUP BY doc_id, chunk_idx
+),
+occ AS (SELECT s, count(*) AS n_occ FROM chunks GROUP BY s)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(max(c.n_tok) AS BIGINT) AS max_chunk_tokens,
+       CAST(sum(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM chunks c JOIN occ o ON o.s = c.s
+GROUP BY c.doc_id
+"""
+
+
+@register("text_cdc_chunks", sql=CDC_SQL, survey=["W1", "A4", "A2"])
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.queries.dedup import _tokenized_docs
+
+    toks_raw = _tokenized_docs(spark, sf_dir)
+    bnd = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cdc_"), F.col("tok")).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _CDC_MOD
+        == 0,
+        1,
+    ).otherwise(0)
+    toks = toks_raw.select(
+        "doc_id", F.posexplode("w").alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok", bnd.alias("bnd")
+    )
+    cum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.sum("bnd").over(cum) - F.col("bnd")).cast("bigint").alias("chunk_idx"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    occ = chunks.groupBy("s").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        chunks.join(occ, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("n_tok").cast("bigint").alias("max_chunk_tokens"),
+            F.sum((F.col("n_occ") > 1).cast("bigint")).alias("n_dup_chunks"),
+        )
+    )

@@ -192,8 +192,13 @@ def main() -> None:
         "dedup_cosine_neardup",
         "dedup_cosine_neardup_strict",
         "dedup_cluster_cc",
+        "dedup_segment_rewrite",
+        "text_duplicate_spans",
+        "text_bigram_perplexity",
+        "text_cdc_chunks",
         "knn_cosine_bruteforce",
         "ann_lsh_hyperplane",
+        "ann_pq_adc",
     ]
     fam_rows = []
     if "sf1" in sfs:
