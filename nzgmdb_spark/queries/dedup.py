@@ -167,6 +167,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(toks: DataFrame, threshold: float = 0.5) -> DataFrame:
+    pairs = _pair_counts(toks)
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") > threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _pair_counts(toks: DataFrame) -> DataFrame:
+    """(doc_a < doc_b, na, nb, n_common) over shared word-3-grams — the
+    posting-list pair expansion shared by the Jaccard and containment
+    operators (two shuffles, zero joins; see dedup_ngram_jaccard notes)."""
     grams = _grams()
     # Carry the per-doc set size THROUGH the explode by zipping it next to
     # each shingle inside one generator expression: `size(grams)` in a
@@ -187,7 +202,7 @@ def _jaccard_pairs(toks: DataFrame, threshold: float = 0.5) -> DataFrame:
             "a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b")
         )
     )
-    pairs = (
+    return (
         expanded.groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -196,13 +211,71 @@ def _jaccard_pairs(toks: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
+
+
+# --- Asymmetric n-gram containment (doc-in-doc detection): C(src→dst) =
+# |grams(src) ∩ grams(dst)| / |grams(src)| — the quote/inclusion signal
+# Jaccard misses (a short doc fully embedded in a long one has high
+# containment but low Jaccard because the union is dominated by the long
+# doc). Directed pairs at C >= 0.8. Same two-shuffle posting-list plan as
+# Jaccard (each undirected pair row fans out to its two directions
+# map-side), so everything scale-relevant is shared with
+# dedup_ngram_jaccard — blocked on shared shingles, never all-pairs.
+
+_CONTAIN_TAU = 0.8
+
+CONTAINMENT_SQL = f"""
+WITH {{SHINGLES}},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_src, p.doc_dst, p.n_common,
+       floor(CAST(p.n_common AS DOUBLE) / ca.n * 1000000.0 + 0.5)
+         / 1000000.0 AS containment
+FROM pairs p JOIN counts ca ON ca.doc_id = p.doc_src
+WHERE CAST(p.n_common AS DOUBLE) / ca.n >= {_CONTAIN_TAU}
+"""
+
+
+@register(
+    "dedup_ngram_containment",
+    sql=CONTAINMENT_SQL.replace("{SHINGLES}", SHINGLES_CTE),
+    survey=["J13", "A2", "P7"],
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.functions import pround
+
+    pairs = _pair_counts(_tokenized_docs(spark, sf_dir))
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_src"),
+                    F.col("doc_b").alias("doc_dst"),
+                    F.col("na").alias("n_src"),
+                    F.col("n_common").alias("n_common"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_src"),
+                    F.col("doc_a").alias("doc_dst"),
+                    F.col("nb").alias("n_src"),
+                    F.col("n_common").alias("n_common"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    c = F.col("n_common").cast("double") / F.col("n_src")
     return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") > threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        directed.filter(c >= _CONTAIN_TAU)
+        .select(
+            "doc_src",
+            "doc_dst",
+            "n_common",
+            pround(c, 6).alias("containment"),
+        )
     )
 
 

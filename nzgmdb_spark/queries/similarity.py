@@ -1121,3 +1121,96 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "vec_id", "approx_cos", "cosine")
     )
+
+
+# --- Distributed PCA power-iteration step: one iteration of the power
+# method for the dominant principal component of the (mean-centered)
+# embedding matrix, computed WITHOUT materializing the covariance — two
+# matvec passes (y = X_c v0, z = X_cᵗ y), which is the only PCA shape
+# that scales: covariance is dim², fine at 64 but not at transformer
+# widths, while the matvec pass is one map-side product + one
+# map-side-combinable agg each. The deterministic start vector reuses
+# the md5-hex-digit convention of the LSH planes; mean-centering is an
+# aggregated 64-row table broadcast back. Every sum is the
+# DECIMAL(38,12)-term exact reduction, so both engines produce the same
+# doubles and the normalized component hashes exactly.
+
+PCA_SQL = f"""
+WITH {_NORMS_CTE},
+mu AS (
+  SELECT dim, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+  FROM dims GROUP BY dim
+),
+v0 AS (
+  SELECT g.i AS dim,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5('pca_' || g.i), 1, 1)) - 8.5 AS DOUBLE) AS w
+  FROM UNNEST(generate_series(0, 63)) AS g(i)
+),
+y AS (
+  SELECT d.vec_id,
+         CAST(sum(CAST((d.v - mu.m) * v0.w AS DECIMAL(38,12))) AS DOUBLE) AS y
+  FROM dims d JOIN mu ON mu.dim = d.dim JOIN v0 ON v0.dim = d.dim
+  GROUP BY d.vec_id
+),
+z AS (
+  SELECT d.dim,
+         CAST(sum(CAST(y.y * (d.v - mu.m) AS DECIMAL(38,12))) AS DOUBLE) AS z
+  FROM dims d JOIN mu ON mu.dim = d.dim JOIN y ON y.vec_id = d.vec_id
+  GROUP BY d.dim
+),
+zn AS (
+  SELECT sqrt(CAST(sum(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM z
+)
+SELECT z.dim,
+       floor(z.z / zn.nrm * 1000000.0 + 0.5) / 1000000.0 AS pc1
+FROM z CROSS JOIN zn
+"""
+
+
+@register("embedding_pca_power_iter", sql=PCA_SQL, survey=["A2", "F9", "J1"])
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _dims(spark, sf_dir)
+    mu = dims.groupBy("dim").agg(
+        (F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)))
+        .alias("m")
+    )
+    v0 = spark.range(64).select(
+        F.col("id").cast("int").alias("dim"),
+        (
+            F.expr(
+                "CAST(instr('0123456789abcdef', "
+                "substring(md5(CAST(concat('pca_', id) AS BINARY)), 1, 1)) AS DOUBLE)"
+            )
+            - F.lit(8.5)
+        ).alias("w0"),
+    )
+    centered = dims.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("v") - F.col("m")).alias("c")
+    )
+    y = (
+        centered.join(F.broadcast(v0), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("c") * F.col("w0")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    z = (
+        centered.join(y, "vec_id")
+        .groupBy("dim")
+        .agg(
+            F.sum((F.col("y") * F.col("c")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("z")
+        )
+    )
+    zn = z.agg(
+        F.sqrt(
+            F.sum((F.col("z") * F.col("z")).cast("decimal(38,12)")).cast("double")
+        ).alias("nrm")
+    )
+    return z.crossJoin(F.broadcast(zn)).select(
+        "dim", pround(F.col("z") / F.col("nrm"), 6).alias("pc1")
+    )

@@ -381,6 +381,7 @@ _BNLJ_ALLOWED = {
     "text_bigram_perplexity",  # broadcast 1-row total-token scalar
     "text_pmi_collocations",  # broadcast 1-row pair/token-total scalars
     "sample_temperature_mixture",  # broadcast 1-row budget/weight scalar
+    "embedding_pca_power_iter",  # broadcast 1-row norm scalar
     "a_approx_quantile_sketch",  # 1-row exact-vs-sketch bound row
     "ann_ivf_cosine",  # broadcast 16-row codebook fan-out
     "dedup_semantic_semdedup",  # same broadcast codebook fan-out (IVF cells)

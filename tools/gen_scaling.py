@@ -355,13 +355,15 @@ def main() -> None:
         "local cores absorb the extra rows in parallel), and any query "
         "whose ratio explodes past ~10× has a super-linear stage."
     )
-    side = os.path.join(REPO_ROOT, ".scale", "sf10_section.md")
-    if os.path.exists(side):
-        # sf10 evidence is measured separately (tools/sf10_probe.py, ~15
-        # min) and carried through this sidecar so the default regen
-        # doesn't wipe it.
-        with open(side) as f:
-            lines.append(f.read())
+    for sidecar in ("sf10_section.md", "core_section.md"):
+        # sf10 + strong-scaling evidence are measured separately
+        # (tools/sf10_probe.py ~15 min, tools/core_scaling.py ~10 min)
+        # and carried through these sidecars so the default regen
+        # doesn't wipe them.
+        side = os.path.join(REPO_ROOT, ".scale", sidecar)
+        if os.path.exists(side):
+            with open(side) as f:
+                lines.append(f.read())
     with open(os.path.join(REPO_ROOT, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
