@@ -498,11 +498,11 @@ GROUP BY c.doc_id
 """
 
 
-@register("text_cdc_chunks", sql=CDC_SQL, survey=["W1", "A4", "A2"])
-def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.queries.dedup import _tokenized_docs
-
-    toks_raw = _tokenized_docs(spark, sf_dir)
+def _cdc_chunk_rows(toks_raw: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, s, n_tok) content-defined chunks over a
+    (doc_id, w: array<string>) relation — the testable core of
+    text_cdc_chunks (the shift-robustness property test constructs its
+    own corpus)."""
     bnd = F.when(
         F.conv(
             F.substring(F.md5(F.concat(F.lit("cdc_"), F.col("tok")).cast("binary")), 1, 8),
@@ -527,7 +527,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         (F.sum("bnd").over(cum) - F.col("bnd")).cast("bigint").alias("chunk_idx"),
     )
-    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+    return chunked.groupBy("doc_id", "chunk_idx").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "tok"))),
@@ -537,6 +537,13 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         F.count(F.lit(1)).alias("n_tok"),
     )
+
+
+@register("text_cdc_chunks", sql=CDC_SQL, survey=["W1", "A4", "A2"])
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.queries.dedup import _tokenized_docs
+
+    chunks = _cdc_chunk_rows(_tokenized_docs(spark, sf_dir))
     occ = chunks.groupBy("s").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         chunks.join(occ, "s")

@@ -246,9 +246,15 @@ WHERE CAST(p.n_common AS DOUBLE) / ca.n >= {_CONTAIN_TAU}
     survey=["J13", "A2", "P7"],
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _containment_pairs(_pair_counts(_tokenized_docs(spark, sf_dir)))
+
+
+def _containment_pairs(pairs: DataFrame) -> DataFrame:
+    """Directed containment filter over a _pair_counts relation — the
+    testable core (the planted doc-in-doc property test builds its own
+    corpus)."""
     from nzgmdb_spark.functions import pround
 
-    pairs = _pair_counts(_tokenized_docs(spark, sf_dir))
     directed = pairs.select(
         F.explode(
             F.array(

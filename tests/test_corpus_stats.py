@@ -1,0 +1,157 @@
+"""Semantic property tests for the corpus-stats / containment / PCA
+operators — each pins the CLAIM the operator exists for, on a corpus
+constructed to exhibit it (the oracle-parity suite already pins exact
+values on the shared testdata)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nzgmdb_spark.queries import load_registry
+from tests.conftest import SF_SMALL
+
+
+def _toks_df(spark, docs: dict[int, list[str]]):
+    rows = [(i, w) for i, w in docs.items()]
+    return spark.createDataFrame(rows, "doc_id bigint, w array<string>")
+
+
+def test_cdc_chunks_are_shift_robust(spark):
+    """THE reason content-defined chunking exists: inserting a token at
+    the head of a document must leave every chunk after the first
+    boundary identical (so chunk-level dedup still matches), whereas
+    fixed-stride segments all shift and match nothing."""
+    from nzgmdb_spark.queries.corpus_stats import _SEG_LEN, _cdc_chunk_rows
+
+    rng = random.Random(7)
+    base = [f"w{rng.randrange(200)}" for _ in range(240)]
+    docs = {0: base, 1: ["INSERTED"] + base}
+    chunks = _cdc_chunk_rows(_toks_df(spark, docs)).collect()
+    by_doc: dict[int, list] = {0: [], 1: []}
+    for r in chunks:
+        by_doc[r.doc_id].append((r.chunk_idx, r.s))
+    a = {s for _, s in by_doc[0]}
+    b = {s for _, s in by_doc[1]}
+    assert len(a) > 4, "corpus too short to produce multiple CDC chunks"
+    # all of doc 0's chunks except (at most) its head chunk reappear
+    # verbatim in the shifted doc
+    assert len(a & b) >= len(a) - 1, (a - b, b - a)
+
+    # contrast: fixed 16-token segments share (at most) a tail fragment
+    segs = {}
+    for d, w in docs.items():
+        segs[d] = {
+            " ".join(w[i : i + _SEG_LEN]) for i in range(0, len(w), _SEG_LEN)
+        }
+    assert len(segs[0] & segs[1]) <= 1
+
+
+def test_containment_detects_planted_subdocument(spark):
+    """A short doc fully embedded in a long one: containment >= 0.8 fires
+    on the (short -> long) direction while Jaccard at 0.5 stays silent —
+    the signal this operator adds over dedup_ngram_jaccard."""
+    from nzgmdb_spark.queries.dedup import (
+        _containment_pairs,
+        _jaccard_pairs,
+        _pair_counts,
+    )
+
+    rng = random.Random(11)
+    inner = [f"a{rng.randrange(50)}" for _ in range(30)]
+    outer = inner + [f"b{rng.randrange(50, 99)}" for _ in range(90)]
+    other = [f"c{rng.randrange(100, 150)}" for _ in range(60)]
+    toks = _toks_df(spark, {0: inner, 1: outer, 2: other})
+
+    got = _containment_pairs(_pair_counts(toks)).collect()
+    directed = {(r.doc_src, r.doc_dst): r.containment for r in got}
+    assert (0, 1) in directed and directed[(0, 1)] >= 0.99
+    assert (1, 0) not in directed  # big doc is NOT contained in small
+    jac = _jaccard_pairs(toks).collect()
+    assert not any({r.doc_a, r.doc_b} == {0, 1} for r in jac), (
+        "Jaccard at 0.5 should miss the planted inclusion (union is "
+        "dominated by the long doc)"
+    )
+
+
+def test_segment_rewrite_keeps_exactly_distinct_segments(spark):
+    """Global keep-first invariant: total kept segments == number of
+    distinct segment texts in the corpus, and every doc's counts are
+    internally consistent."""
+    reg = load_registry()
+    out = reg["dedup_segment_rewrite"].fn(spark, SF_SMALL).collect()
+    total_kept = sum(r.n_kept for r in out)
+
+    from nzgmdb_spark.queries.corpus_stats import _SEG_LEN
+    from nzgmdb_spark.queries.dedup import _tokenized_docs
+
+    seg = _tokenized_docs(spark, SF_SMALL).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w), {_SEG_LEN}), "
+                f"i -> array_join(slice(w, i, {_SEG_LEN}), ' '))"
+            )
+        ).alias("s")
+    )
+    n_distinct = seg.distinct().count()
+    assert total_kept == n_distinct
+    assert all(0 <= r.n_kept <= r.n_segs for r in out)
+
+
+def test_temperature_sampling_quota_properties(spark):
+    """alpha=0.5 temperature quotas: selected counts hit min(quota, n_l)
+    exactly, the total is within rounding of the half-corpus budget, and
+    quota order follows language frequency order (monotonicity)."""
+    from nzgmdb_spark.tables import tbl
+
+    reg = load_registry()
+    out = reg["sample_temperature_mixture"].fn(spark, SF_SMALL).toPandas()
+    docs = tbl(spark, SF_SMALL, "documents").groupBy("lang").count().toPandas()
+    n_by_lang = dict(zip(docs["lang"], docs["count"]))
+    budget = sum(n_by_lang.values()) // 2
+
+    sel = out.groupby("lang")["doc_id"].count().to_dict()
+    import math
+
+    sw = sum(math.sqrt(n) for n in n_by_lang.values())
+    for lang, n in n_by_lang.items():
+        quota = int(math.floor(budget * (math.sqrt(n) / sw) + 0.5))
+        assert sel.get(lang, 0) == min(quota, n), lang
+    assert abs(sum(sel.values()) - budget) <= len(n_by_lang)
+    # monotone: more documents -> no smaller selection
+    langs = sorted(n_by_lang, key=n_by_lang.get)
+    for lo, hi in zip(langs, langs[1:]):
+        assert sel.get(lo, 0) <= sel.get(hi, 0) or n_by_lang[lo] == n_by_lang[hi]
+
+
+def test_pca_power_iter_matches_numpy_and_is_unit_norm(spark):
+    """Independent-implementation check: the registered two-matvec power
+    step must agree with a numpy float64 replication (same md5 start
+    vector) to ~1e-6, and the output component must be unit-norm."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    reg = load_registry()
+    out = reg["embedding_pca_power_iter"].fn(spark, SF_SMALL).toPandas()
+    got = out.sort_values("dim")["pc1"].to_numpy()
+    assert abs(float(np.sum(got * got)) - 1.0) < 1e-4
+
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    X = np.array([list(v) for v in t["embedding"].to_pylist()], dtype=np.float64)
+    Xc = X - X.mean(axis=0, keepdims=True)
+    import hashlib
+
+    v0 = np.array(
+        [
+            "0123456789abcdef".index(
+                hashlib.md5(f"pca_{i}".encode()).hexdigest()[0]
+            )
+            + 1
+            - 8.5
+            for i in range(64)
+        ]
+    )
+    z = Xc.T @ (Xc @ v0)
+    ref = z / np.linalg.norm(z)
+    assert np.max(np.abs(ref - got)) < 1e-5, np.max(np.abs(ref - got))
