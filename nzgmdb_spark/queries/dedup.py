@@ -1294,3 +1294,146 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") > 0.5)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+# --- SimHash Hamming-neighbor search (Manku, Jarmin & Sarma 2007,
+# "Detecting Near-Duplicates for Web Crawling" — the production simhash
+# dedup recipe): a 48-bit TF-WEIGHTED simhash per doc (the unweighted
+# 32-bit signature of dedup_simhash saturates on a small vocabulary:
+# 870 hamming-0 pairs on this corpus; weighting votes by term frequency
+# and widening to 48 bits brings hamming<=3 down to ~40 pairs vs 25 true
+# Jaccard>0.5 near-dups), then the pigeonhole block trick: split the
+# signature into 4 blocks of 12 bits — any pair within Hamming distance
+# 3 differs in at most 3 blocks, so it MUST agree exactly on at least
+# one. Candidates = block equi-join (the banded-LSH shape, never
+# all-pairs; EXACT, not probabilistic, for the <=3 radius); verify =
+# map-side popcount(xor).
+#
+# Plan shape at 100 TB: signature build is one tf aggregation plus one
+# 48-column map-side vote aggregation (shuffle ∝ docs, not docs×bits);
+# candidate generation shuffles 4 block rows per doc; a hot block bucket
+# (mega-cluster of identical signatures) is the same skew the
+# operators/lsh.py cap bounds — at production scale the signature is
+# 64-bit with 5-6 blocks, which shrinks buckets exponentially.
+
+_SH_BITS = 48
+_SH_NIBBLES = _SH_BITS // 4
+_SH_BLOCKS = 4
+_SH_BLOCK_BITS = _SH_BITS // _SH_BLOCKS
+_SH_RADIUS = 3
+
+SIMHASH_HAMMING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+th AS (SELECT doc_id, c, substr(md5(tok), 1, {_SH_NIBBLES}) AS hx FROM tf),
+bits AS (
+  SELECT doc_id, g.b AS bit_idx,
+         CASE WHEN (
+           (strpos('{_HEX}', substr(hx, (g.b // 4) + 1, 1)) - 1)
+           >> (3 - (g.b % 4))
+         ) & 1 = 1 THEN c ELSE -c END AS vote
+  FROM th, UNNEST(generate_series(0, {_SH_BITS - 1})) AS g(b)
+),
+votes AS (
+  SELECT doc_id, bit_idx, CAST(sum(vote) AS BIGINT) AS v
+  FROM bits GROUP BY doc_id, bit_idx
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit_idx ELSE 0 END)
+              AS BIGINT) AS sh
+  FROM votes GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, sh, g.b AS blk,
+         (sh >> ({_SH_BLOCK_BITS} * g.b)) & {(1 << _SH_BLOCK_BITS) - 1} AS bv
+  FROM sigs, UNNEST(generate_series(0, {_SH_BLOCKS - 1})) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh AS sa, b.sh AS sb
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {_SH_RADIUS}
+"""
+
+
+@register(
+    "dedup_simhash_hamming", sql=SIMHASH_HAMMING_SQL, survey=["A8", "J13", "W4"]
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(tbl(spark, sf_dir, "documents"), growth=4.0)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    th = tf.select(
+        "doc_id",
+        "c",
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, _SH_NIBBLES).alias("hx"),
+    )
+    # same column-wise vote shape as dedup_simhash: decode the hex
+    # nibbles once, emit all 48 signed-count votes as columns of the
+    # token rows, sum them in ONE map-side partial aggregation.
+    nib = th.select(
+        "doc_id",
+        "c",
+        *[
+            F.expr(f"CAST(conv(substring(hx, {k + 1}, 1), 16, 10) AS INT)").alias(
+                f"n{k}"
+            )
+            for k in range(_SH_NIBBLES)
+        ],
+    )
+    votes = nib.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col(f"n{b // 4}").bitwiseAND(1 << (3 - (b % 4)))) != 0,
+                    F.col("c"),
+                ).otherwise(-F.col("c"))
+            ).alias(f"v{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            (F.col(f"v{b}") > 0).cast("bigint") * F.lit(1 << b)
+            for b in range(_SH_BITS)
+        ).alias("sh"),
+    )
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blocks = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
+    ).select(
+        "doc_id",
+        "sh",
+        "blk",
+        F.expr(f"(sh >> ({_SH_BLOCK_BITS} * blk)) & {mask}").alias("bv"),
+    )
+    a = blocks.select(
+        F.col("blk"), F.col("bv"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+    )
+    b = blocks.select(
+        F.col("blk"), F.col("bv"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")
+    )
+    cand = (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sa ^ sb"))
+    return cand.filter(ham <= _SH_RADIUS).select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )
