@@ -304,8 +304,7 @@ def _containment_pairs(pairs: DataFrame) -> DataFrame:
 
 _CC_MAX_ROUNDS = 15
 
-CC_SQL = f"""
-WITH RECURSIVE {SHINGLES_CTE},
+_CC_CTES = f"""{SHINGLES_CTE},
 counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -328,7 +327,10 @@ reach AS (
   SELECT src AS doc_id, src AS lbl FROM edges
   UNION
   SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
-)
+)"""
+
+CC_SQL = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
 """
 
@@ -1436,4 +1438,70 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.expr("sa ^ sb"))
     return cand.filter(ham <= _SH_RADIUS).select(
         "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )
+
+
+# --- Cluster representative selection ("keep best", not "keep first"):
+# production dedup keeps the HIGHEST-QUALITY member of each near-dup
+# cluster, not the lowest doc_id — the composition step between
+# dedup_cluster_cc and the quality gates. Quality here is the
+# type-token ratio (an integer-count ratio, so the score is a
+# bit-identical double on both engines); ties break on doc_id.
+#
+# Plan shape at 100 TB: the cluster labels come from the CC fixpoint
+# (one shuffle join + agg per round, see propagate_min_labels); rep
+# selection is one window over clusters whose partition size is the
+# cluster multiplicity — bounded by the same argument as every keep-x
+# window in this module.
+
+KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_CC_CTES},
+cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+),
+ranked AS (
+  SELECT cl.cluster_id, cl.doc_id, q.ttr,
+         row_number() OVER (
+           PARTITION BY cl.cluster_id ORDER BY q.ttr DESC, cl.doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM cl JOIN q ON q.doc_id = cl.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       floor(ttr * 1000000.0 + 0.5) / 1000000.0 AS rep_ttr
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_cluster_keep_best", sql=KEEP_BEST_SQL, survey=["A1", "A6", "J1"])
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from nzgmdb_spark.functions import pround
+
+    labels = dedup_cluster_cc(spark, sf_dir)
+    d = tbl(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    q = d.select(
+        "doc_id",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ttr"),
+    )
+    joined = labels.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("ttr").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            pround(F.col("ttr"), 6).alias("rep_ttr"),
+        )
     )

@@ -24,6 +24,10 @@ QUERIES = [
     "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "k13_rupture_distances", "ann_ivf_cosine",
     "knn_cosine_bruteforce", "text_quality_score", "t_daily_rollup",
+    # round-6 corpus family: the ops whose 100 TB story is the engine's
+    # headline — each needs the same two-consecutive-10x evidence
+    "dedup_segment_rewrite", "text_cdc_chunks", "text_bigram_perplexity",
+    "text_duplicate_spans", "ann_pq_adc",
 ]
 
 
