@@ -554,3 +554,78 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_occ") > 1).cast("bigint")).alias("n_dup_chunks"),
         )
     )
+
+
+# --- Token-distribution entropy: Shannon entropy of each document's
+# unigram distribution plus its normalized form H/ln(|vocab_doc|) — a
+# standard curation signal (low entropy = repetitive/boilerplate text;
+# the Gopher rules' repetition fractions measure specific patterns,
+# entropy measures the whole distribution). H = -Σ (c/n)·ln(c/n) with
+# each term cast to DECIMAL(38,12) before the sum, so the reduction is
+# order-proof and the value hash exact.
+#
+# Plan shape at 100 TB: one tf aggregation (map-side combinable), one
+# per-doc total, one co-partitioned join + per-doc sum — shuffle ∝
+# distinct (doc, token) pairs, no corpus-wide state.
+
+ENTROPY_SQL = """
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+n AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS u
+  FROM tf GROUP BY doc_id
+),
+h AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST((CAST(tf.c AS DOUBLE) / n.n)
+                       * ln(CAST(tf.c AS DOUBLE) / n.n)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sh
+  FROM tf JOIN n ON n.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+)
+SELECT n.doc_id, n.n AS n_tokens, CAST(n.u AS BIGINT) AS n_unique,
+       floor(-sh * 1000000.0 + 0.5) / 1000000.0 AS entropy,
+       CASE WHEN n.u > 1
+            THEN floor(-sh / ln(CAST(n.u AS DOUBLE)) * 1000000.0 + 0.5)
+                   / 1000000.0
+            ELSE 0.0 END AS norm_entropy
+FROM h JOIN n ON n.doc_id = h.doc_id
+"""
+
+
+@register("text_entropy_score", sql=ENTROPY_SQL, survey=["A2", "F9", "P7"])
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.tables import tbl
+
+    d = tbl(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("u"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    h = (
+        tf.join(n, "doc_id")
+        .select("doc_id", (p * F.log(p)).cast("decimal(38,12)").alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").cast("double").alias("sh"))
+    )
+    return h.join(n, "doc_id").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("u").cast("bigint").alias("n_unique"),
+        pround(-F.col("sh"), 6).alias("entropy"),
+        F.when(
+            F.col("u") > 1,
+            pround(-F.col("sh") / F.log(F.col("u").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

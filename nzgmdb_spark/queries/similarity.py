@@ -1235,3 +1235,72 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.crossJoin(F.broadcast(zn)).select(
         "dim", pround(F.col("z") / F.col("nrm"), 6).alias("pc1")
     )
+
+
+# --- Symmetric int8 embedding quantization: per-vector scale =
+# max|x|/127, q = clamp(round(x/scale)), reconstruction error stats per
+# vector — the other storage-compression path beside PQ (4x over fp32,
+# reconstruction stays per-dimension instead of per-subspace). Rounding
+# is the portable half-up floor(x+0.5) (plain round() differs between
+# engines); the +0.0 on the clamp canonicalizes IEEE -0.0, which DuckDB's
+# GREATEST can produce and which breaks %.9g value hashes.
+#
+# Plan shape at 100 TB: entirely map-side per-vector expressions plus
+# one per-vector aggregation over the long form — shuffle ∝ vectors,
+# no cross-vector state at all.
+
+QUANT8_SQL = f"""
+WITH {_NORMS_CTE},
+sc AS (
+  SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM dims GROUP BY vec_id
+),
+q AS (
+  SELECT d.vec_id, d.dim, d.v, sc.scale,
+         CASE WHEN sc.scale > 0
+              THEN GREATEST(-127.0, LEAST(127.0, floor(d.v / sc.scale + 0.5))) + 0.0
+              ELSE 0.0 END AS qv
+  FROM dims d JOIN sc ON sc.vec_id = d.vec_id
+),
+err AS (
+  SELECT vec_id,
+         CAST(sum(CAST((v - qv * scale) * (v - qv * scale) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sse,
+         max(abs(v - qv * scale)) AS maxe
+  FROM q GROUP BY vec_id
+)
+SELECT e.vec_id,
+       floor(sc.scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+       floor(e.sse / 64.0 * 1000000000.0 + 0.5) / 1000000000.0 AS mse,
+       floor(e.maxe * 1000000000.0 + 0.5) / 1000000000.0 AS max_abs_err
+FROM err e JOIN sc ON sc.vec_id = e.vec_id
+"""
+
+
+@register("embedding_quantize_int8", sql=QUANT8_SQL, survey=["F9", "A2", "P10"])
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _dims(spark, sf_dir)
+    sc = dims.groupBy("vec_id").agg((F.max(F.abs("v")) / 127.0).alias("scale"))
+    qv = F.when(
+        F.col("scale") > 0,
+        F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(F.col("v") / F.col("scale") + 0.5)),
+        )
+        + 0.0,
+    ).otherwise(0.0)
+    q = dims.join(sc, "vec_id").select(
+        "vec_id", "v", "scale", qv.alias("qv")
+    )
+    e = F.col("v") - F.col("qv") * F.col("scale")
+    err = q.select("vec_id", "scale", e.alias("e")).groupBy("vec_id", "scale").agg(
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sse"),
+        F.max(F.abs("e")).alias("maxe"),
+    )
+    return err.select(
+        "vec_id",
+        pround(F.col("scale"), 9).alias("scale"),
+        pround(F.col("sse") / F.lit(64.0), 9).alias("mse"),
+        pround(F.col("maxe"), 9).alias("max_abs_err"),
+    )
