@@ -736,7 +736,9 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(F.col("text"), " ")
     toks = d.select("doc_id", t.alias("t"))
     unis = toks.select("doc_id", F.explode("t").alias("f"))
-    bis = toks.select(
+    # size(t) == 1 would make sequence(1, 0) raise under ANSI mode; such docs
+    # simply contribute no bigrams.
+    bis = toks.filter(F.size("t") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(

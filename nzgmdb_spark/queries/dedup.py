@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from nzgmdb_spark.operators.partitioning import spread
 from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.session import session_cache_key
 from nzgmdb_spark.tables import tbl
 
 # --- Exact dedup: md5-hash groupBy (keep-first policy).
@@ -77,7 +78,7 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per corpus drop and each dedup pass reads the materialized rows
     instead of re-tokenizing the corpus.
     """
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     hit = _TOKENIZED_CACHE.get(key)
     if hit is not None:
         return hit
@@ -452,7 +453,7 @@ def _minhash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from substituting the md5 transform into the 8 per-hash min lambdas
     (lambda-scoped subtrees are excluded from subexpression elimination).
     """
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     hit = _MINHASH_STAGE_CACHE.get(key)
     if hit is not None:
         return hit

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from nzgmdb_spark.functions import pround
 from nzgmdb_spark.operators.partitioning import spread
 from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.session import session_cache_key
 from nzgmdb_spark.tables import tbl
 
 _N_QUERIES = 5  # query set: vec_id < 5
@@ -394,7 +395,7 @@ _IVF_INDEX_CACHE: dict = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     hit = _IVF_INDEX_CACHE.get(key)
     if hit is not None:
         return hit
@@ -609,9 +610,8 @@ FROM sims GROUP BY vec_b
 """
 
 
-@register("dedup_semantic_semdedup", sql=SEMDEDUP_SQL, survey=["J13", "A6"])
-def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.operators.lsh import capped_band_candidates
+def _semdedup_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus + planted 4%-perturbed twins, with norms (SemDeDup input)."""
     from nzgmdb_spark.operators.partitioning import spread
     from nzgmdb_spark.tables import tbl
 
@@ -627,7 +627,17 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(1.0 AS DOUBLE) + CAST(0.04 AS DOUBLE) * CAST(i % 7 - 3 AS DOUBLE)))"
         ).alias("v"),
     )
-    aug = base.unionByName(twins).withColumn("nrm", _wide_norm_col())
+    return base.unionByName(twins).withColumn("nrm", _wide_norm_col())
+
+
+def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid cell assignment (vec_id, cell) for SemDeDup.
+
+    Exposed separately so the correctness sweep can assert the cap/oracle
+    parity precondition: the full-clique oracle SQL matches the capped
+    Spark path only while every cell stays under DEFAULT_BUCKET_CAP.
+    """
+    aug = _semdedup_augmented(spark, sf_dir)
     cw = aug.filter(
         (F.col("vec_id") >= _N_QUERIES)
         & (F.col("vec_id") < _N_QUERIES + _N_CENTROIDS)
@@ -641,13 +651,21 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("c_id")
     )
-    cells = (
+    return (
         aug.crossJoin(F.broadcast(cw))
         .withColumn("ccos", _wide_dot("v", "cv") / (F.col("nrm") * F.col("c_nrm")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("c_id").alias("cell"))
     )
+
+
+@register("dedup_semantic_semdedup", sql=SEMDEDUP_SQL, survey=["J13", "A6"])
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.lsh import capped_band_candidates
+
+    aug = _semdedup_augmented(spark, sf_dir)
+    cells = _semdedup_cells(spark, sf_dir)
     # Cap is invisible at correctness SF (cells ≪ 256 members); above it
     # a flood cell emits star pairs around its min id, which still marks
     # every member as a duplicate of the representative.
@@ -1071,7 +1089,7 @@ _PQ_INDEX_CACHE: dict = {}
 
 
 def _pq_index(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = session_cache_key(spark, sf_dir)
     hit = _PQ_INDEX_CACHE.get(key)
     if hit is not None:
         return hit

@@ -56,3 +56,14 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def session_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Cache key for session-lifetime index/staging caches.
+
+    ``sparkContext.applicationId`` is unique per application, unlike
+    ``id(spark)``, which CPython may recycle after a stopped session is
+    garbage-collected — a recycled id would hand a new session stale
+    localCheckpoint handles pinned to a dead context.
+    """
+    return (spark.sparkContext.applicationId, sf_dir)

@@ -61,15 +61,17 @@ def main() -> None:
             out.setdefault(name, {})[cores] = min(ts)
             print(f"  local[{cores}] {name}: {min(ts):.2f}s", flush=True)
         spark.stop()
-        # fresh JVM per core count — a shared one would leak the previous
-        # master's parallelism into defaultParallelism-derived widths
+        # fresh SparkContext per core count (the JVM is reused via py4j) —
+        # getOrCreate() without the stop() would keep the previous master's
+        # parallelism in defaultParallelism-derived widths
         time.sleep(5)
 
     lines = [
         "",
         "## Strong scaling at sf1 (same data, fewer cores)",
         "",
-        "Minimum of 3 warm runs per point, one fresh local[N] JVM per column,",
+        "Minimum of 3 warm runs per point, one fresh local[N] SparkContext per",
+        "column (same driver JVM, stopped and rebuilt between core counts),",
         "shuffle.partitions = N (`tools/core_scaling.py`). The speedup column",
         "is wall(4)/wall(32) — 8× cores; a data-dominated query should land",
         "well above 1× (compute parallelism is absorbing the work), while a",

@@ -116,6 +116,24 @@ def main() -> int:
         if not ok:
             print(f"    {row}")
 
+    # Cap/oracle parity precondition for dedup_semantic_semdedup: its
+    # oracle SQL enumerates the FULL within-cell clique, while the Spark
+    # path routes cells through capped_band_candidates — identical results
+    # only while every IVF cell stays under the cap. Assert it so a larger
+    # test corpus can't silently turn the cap into a hash mismatch.
+    from nzgmdb_spark.operators.lsh import DEFAULT_BUCKET_CAP
+    from nzgmdb_spark.queries.similarity import _semdedup_cells
+
+    max_cell = (
+        _semdedup_cells(spark, SF_DIR)
+        .groupBy("cell").count().agg(_F.max("count")).first()[0]
+    )
+    print(f"  semdedup max IVF-cell size: {max_cell} (cap {DEFAULT_BUCKET_CAP})")
+    assert max_cell < DEFAULT_BUCKET_CAP, (
+        f"semdedup cell {max_cell} >= cap {DEFAULT_BUCKET_CAP}: the "
+        f"full-clique oracle no longer matches the capped Spark path"
+    )
+
     spark.stop()
     out_path = os.path.join(REPO_ROOT, f"CORRECTNESS_full_r{ROUND}.json")
     with open(out_path, "w") as f:
