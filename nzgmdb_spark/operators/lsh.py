@@ -59,15 +59,29 @@ def capped_band_candidates(
     cap: int = DEFAULT_BUCKET_CAP,
     a_name: str = "id_a",
     b_name: str = "id_b",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Candidate pairs from a (id, band-key...) relation, hot-bucket capped.
 
     Returns distinct (a_name, b_name) with a < b. See module docstring
     for the exact clique/star semantics and the recall bound.
+
+    ``payload_cols`` rides per-id columns (must be functionally dependent
+    on the id, e.g. the id's signature) through the aggregation so the
+    verify stage downstream needs NO re-join against the corpus: each
+    payload ``c`` comes back as ``{c}_a`` / ``{c}_b``. The ids stay the
+    struct's FIRST field, so ``sort_array`` still orders buckets by id
+    and a < b still holds by construction.
     """
+    pc = list(payload_cols or [])
+    entry = (
+        F.struct(F.col(id_col).alias("i"), *[F.col(c) for c in pc])
+        if pc
+        else F.col(id_col)
+    )
     grouped = (
         bands.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .agg(F.sort_array(F.collect_list(entry)).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
     # Clique: for the i-th id, pair with every later id (array is sorted,
@@ -90,11 +104,16 @@ def capped_band_candidates(
             F.expr(f"CASE WHEN size(_ids) <= {cap} THEN {clique} ELSE {star} END")
         ).alias("_p")
     )
+    if pc:
+        sel = [F.col("_p.a.i").alias(a_name), F.col("_p.b.i").alias(b_name)]
+        sel += [F.col(f"_p.a.{c}").alias(f"{c}_a") for c in pc]
+        sel += [F.col(f"_p.b.{c}").alias(f"{c}_b") for c in pc]
+    else:
+        sel = [F.col("_p.a").alias(a_name), F.col("_p.b").alias(b_name)]
     return (
-        pairs.select(
-            F.col("_p.a").alias(a_name), F.col("_p.b").alias(b_name)
-        )
+        pairs.select(*sel)
         # Duplicate ids landing in one bucket would otherwise self-pair.
+        # Payloads are id-dependent, so the distinct still dedups pairs.
         .filter(F.col(a_name) < F.col(b_name))
         .distinct()
     )

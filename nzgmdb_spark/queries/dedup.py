@@ -1371,7 +1371,13 @@ WHERE bit_count(xor(sa, sb)) <= {_SH_RADIUS}
     "dedup_simhash_hamming", sql=SIMHASH_HAMMING_SQL, survey=["A8", "J13", "W4"]
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(tbl(spark, sf_dir, "documents"), growth=4.0)
+    return simhash_hamming_pairs(
+        spread(tbl(spark, sf_dir, "documents"), growth=4.0)
+    )
+
+
+def simhash_hamming_pairs(d: DataFrame) -> DataFrame:
+    """Manku 4-block pigeonhole Hamming-neighbor pairs over (doc_id, text)."""
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -1424,18 +1430,23 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
         F.expr(f"(sh >> ({_SH_BLOCK_BITS} * blk)) & {mask}").alias("bv"),
     )
-    a = blocks.select(
-        F.col("blk"), F.col("bv"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
-    )
-    b = blocks.select(
-        F.col("blk"), F.col("bv"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")
-    )
-    cand = (
-        a.join(b, ["blk", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
-        .distinct()
-    )
+    # Hot-bucket-capped candidate generation (operators/lsh.py): a flood
+    # of exact duplicates collides in ALL 4 blocks, so the naive
+    # (blk, bv) self-join would emit ~2·B² pairs before distinct; the
+    # capped star bounds that to 4·(B−1) while keeping every flood
+    # member paired with the bucket representative (Hamming 0 for exact
+    # dups → still flagged). Signatures ride through as payload, so the
+    # Hamming verify needs no corpus re-join.
+    from nzgmdb_spark.operators.lsh import capped_band_candidates
+
+    cand = capped_band_candidates(
+        blocks,
+        "doc_id",
+        ["blk", "bv"],
+        a_name="doc_a",
+        b_name="doc_b",
+        payload_cols=["sh"],
+    ).withColumnsRenamed({"sh_a": "sa", "sh_b": "sb"})
     ham = F.bit_count(F.expr("sa ^ sb"))
     return cand.filter(ham <= _SH_RADIUS).select(
         "doc_a", "doc_b", ham.cast("bigint").alias("hamming")

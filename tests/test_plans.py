@@ -478,3 +478,14 @@ def test_round4_optimized_plan_shapes(spark):
     p = plan_of(spark, "dedup_cosine_neardup")
     # fast double fold (pre-screen filter) + exact decimal fold
     assert p.count("zip_with") >= 2, "cosine verify lost the double pre-screen"
+
+
+def test_simhash_hamming_capped_no_self_join(spark):
+    """dedup_simhash_hamming's candidate stage must be the single
+    hash-aggregation clique/star (operators/lsh.py), not a (blk, bv)
+    block self-join — the uncapped join is flood-quadratic (an
+    exact-duplicate flood collides in all 4 blocks). The signature rides
+    through as payload, so the Hamming verify adds NO join at all."""
+    p = plan_of(spark, "dedup_simhash_hamming")
+    assert "SortMergeJoin" not in p, "block self-join is back"
+    assert "collect_list" in p, "capped clique/star aggregation missing"

@@ -547,6 +547,39 @@ def test_cosine_neardup_flood_wall_bounded(spark):
     assert wall < 120, f"flood path took {wall:.0f}s — cap not effective?"
 
 
+def test_simhash_hamming_flood_is_linear(spark):
+    """An exact-duplicate flood collides in ALL 4 simhash blocks — the
+    worst case for the (blk, bv) candidate join, which uncapped would
+    emit ~2·B² rows before distinct. Through the capped star the output
+    must stay LINEAR: every flood member paired exactly once with the
+    flood representative at Hamming 0 (exact dups still flagged), plus
+    bounded time. 10k identical docs + distinct chaff."""
+    import time
+
+    from nzgmdb_spark.queries.dedup import simhash_hamming_pairs
+
+    n = 10_000
+    flood = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again").alias("text"),
+    )
+    chaff = spark.range(50).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(
+            F.lit("chaff token"), F.col("id"),
+            F.lit(" unique words"), F.col("id") * 7,
+        ).alias("text"),
+    )
+    t0 = time.monotonic()
+    pairs = simhash_hamming_pairs(flood.unionByName(chaff)).collect()
+    wall = time.monotonic() - t0
+    flood_pairs = [p for p in pairs if p.doc_a < n and p.doc_b < n]
+    assert len(flood_pairs) == n - 1, len(flood_pairs)
+    assert all(p.doc_a == 0 and p.hamming == 0 for p in flood_pairs)
+    assert {p.doc_b for p in flood_pairs} == set(range(1, n))
+    assert wall < 120, f"simhash flood took {wall:.0f}s — cap not effective?"
+
+
 # Measured peak stage-level execution memory at sf0.1 (StageMemoryProbe
 # around the honest run_full action, local[32]; identical across repeat
 # probes — execution memory is deterministic for a deterministic plan).
