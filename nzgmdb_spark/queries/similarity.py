@@ -386,6 +386,22 @@ QUALIFY row_number() OVER (
 """
 
 
+# Session-level staged wide-vector table, shared by every ANN index
+# build and the PQ rerank: one parquet scan + one decimal norm fold per
+# corpus drop, instead of once per index build / query batch. At cluster
+# scale this is the persisted "vectors" staging table every index reads.
+_WIDE_CACHE: dict = {}
+
+
+def _wide_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = session_cache_key(spark, sf_dir)
+    hit = _WIDE_CACHE.get(key)
+    if hit is None:
+        hit = _wide(spark, sf_dir).localCheckpoint()
+        _WIDE_CACHE[key] = hit
+    return hit
+
+
 # Session-level materialized IVF index: (ranked assignment table, wide
 # vectors). A real IVF index is BUILT ONCE and probed by every query batch
 # — rebuilding the codebook assignment per query would be like re-training
@@ -407,7 +423,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     # the same scale-12 exact dot as the oracle's long-form sum. The
     # long-form explode variant of this phase cost ~3× more wall time
     # (2M exploded rows through a join + two-key aggregate).
-    e = _wide(spark, sf_dir).localCheckpoint()
+    e = _wide_cached(spark, sf_dir)
     cw = e.filter(
         (F.col("vec_id") >= _N_QUERIES)
         & (F.col("vec_id") < _N_QUERIES + _N_CENTROIDS)
@@ -1058,7 +1074,7 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     subvector form. Normalizing before quantization makes ADC inner
     products equal cosines, so PQ ranking targets the same metric as the
     brute-force truth (the standard cosine-metric PQ recipe)."""
-    base = _wide(spark, sf_dir)
+    base = _wide_cached(spark, sf_dir)
     vn = F.transform("v", lambda x: x / F.col("nrm"))
     return base.select(
         "vec_id",
@@ -1079,12 +1095,17 @@ def _wide_sqdist(a: str, b: str) -> Column:
     ).cast("double")
 
 
-# Session-level materialized PQ index: (codebook, code table). Like the
-# IVF index above, PQ codes are BUILT ONCE and served to every query
-# batch — the code table IS the compressed corpus representation a
-# production deployment persists (8 code bytes/vector); rebuilding the
-# assignment per query would re-quantize the corpus per lookup. Keyed by
-# (session, sf_dir); localCheckpoint pins the materialized rows.
+# Session-level materialized PQ index: (codebook, WIDE code table —
+# one row per vector with the 8 subquantizer codes as columns). Like
+# the IVF index above, PQ codes are BUILT ONCE and served to every
+# query batch — the code table IS the compressed corpus representation
+# a production deployment persists (8 code bytes/vector); rebuilding
+# the assignment per query would re-quantize the corpus per lookup.
+# Wide form is what makes query-time ADC map-side: a long (vec_id, m,
+# cid) table needs a join on (m, cid) plus a (q_id, vec_id) re-agg —
+# n·M·|queries| rows through an exchange per batch — while the wide row
+# meets the broadcast per-query LUT once and sums 8 array lookups in
+# place. Keyed by (session, sf_dir); localCheckpoint pins the rows.
 _PQ_INDEX_CACHE: dict = {}
 
 
@@ -1097,21 +1118,51 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     cb = sub.filter(F.col("vec_id") < _PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("wv")
     )
-    codes = (
+    # One aggregation straight to the wide row: min(struct(dist, cid))
+    # per subquantizer column == the oracle's row_number()=1 ordering by
+    # (dist, cid).
+    codes_w = (
         sub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "cid", _wide_sqdist("sv", "wv").alias("dist"))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist", "cid")).alias("mn"))
-        .select("vec_id", "m", F.col("mn.cid").alias("cid"))
+        .select("vec_id", "m", _wide_sqdist("sv", "wv").alias("dist"), "cid")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("m") == k, F.struct("dist", "cid"))).alias(
+                    f"mn{k}"
+                )
+                for k in range(_PQ_M)
+            ]
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"mn{k}.cid").alias(f"c{k}") for k in range(_PQ_M)],
+        )
     )
-    built = (cb.localCheckpoint(), codes.localCheckpoint())
+    built = (cb.localCheckpoint(), codes_w.localCheckpoint())
     _PQ_INDEX_CACHE[key] = built
     return built
 
 
+# Map-side ADC sum: 8 LUT array lookups, decimal-exact accumulation
+# (addition order is irrelevant for DECIMAL — same doubles as the old
+# shuffled sum). Terms are DECIMAL(20,12), NOT (38,12): chained adds
+# grow precision by one per term, and overflowing 38 makes Spark shed
+# scale (12 → 6 after seven adds — a measured 1e-6-level hash break);
+# (20,12) leaves 18 digits of headroom. One expr string: the
+# Column-tree equivalent costs py4j round-trips per plan build.
+_ADC_EXPR = (
+    "CAST("
+    + " + ".join(
+        f"CAST(element_at(lut{k}, CAST(c{k} + 1 AS INT)) AS DECIMAL(20,12))"
+        for k in range(_PQ_M)
+    )
+    + " AS DOUBLE) AS approx_cos"
+)
+
+
 @register("ann_pq_adc", sql=PQ_SQL, survey=["J14", "J15", "A1"])
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cb, codes = _pq_index(spark, sf_dir)
+    cb, codes_w = _pq_index(spark, sf_dir)
     sub = _pq_subvectors(spark, sf_dir)
     lut = (
         sub.filter(F.col("vec_id") < _N_QUERIES)
@@ -1119,15 +1170,25 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cb), "m")
         .select("q_id", "m", "cid", _wide_dot("sv", "wv").alias("ipd"))
     )
+    # Per-query LUT pivoted to one row per q_id: lut{k}[cid + 1] = the
+    # inner product of query subvector k with centroid cid. |queries| ×
+    # M × K doubles — broadcast-size by construction.
+    qlut = lut.groupBy("q_id").agg(
+        *[
+            F.expr(
+                f"transform(array_sort(collect_list(CASE WHEN m = {k} THEN "
+                f"named_struct('cid', cid, 'ipd', ipd) END)), s -> s.ipd)"
+            ).alias(f"lut{k}")
+            for k in range(_PQ_M)
+        ]
+    )
+    # The scoring stage: wide codes meet the broadcast LUT row set once
+    # (|queries|× map-side fan-out, the deliberate BNLJ of every ANN
+    # batch), ADC is summed in place — NO exchange until the shortlist
+    # top-k itself.
     scored = (
-        codes.join(F.broadcast(lut), ["m", "cid"])
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(
-            F.sum(F.col("ipd").cast("decimal(38,12)"))
-            .cast("double")
-            .alias("approx_cos")
-        )
+        codes_w.join(F.broadcast(qlut), F.col("q_id") != F.col("vec_id"))
+        .selectExpr("q_id", "vec_id", _ADC_EXPR)
     )
     w_adc = Window.partitionBy("q_id").orderBy(
         F.col("approx_cos").desc(), F.col("vec_id")
@@ -1137,22 +1198,27 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_SHORTLIST)
         .drop("rn")
     )
-    # Exact rerank: the ONLY stage that reads raw vectors, and it reads
-    # them for shortlist rows only (shortlist × join — at cluster scale a
-    # broadcast of the shortlist ids against the vector table).
-    base = _wide(spark, sf_dir)
-    nvec = base.select(
-        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("nv")
-    )
-    qvec = nvec.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("nv").alias("qv")
-    )
+    # Exact rerank: the ONLY stage that reads raw vectors. The SHORTLIST
+    # side is broadcast (|queries| × shortlist rows by construction), so
+    # the scan of the staged vector table is filtered map-side — no
+    # corpus-sized exchange — and normalization (the per-element divide)
+    # runs on surviving rows only.
+    base = _wide_cached(spark, sf_dir)
     rer = (
-        short.join(nvec, "vec_id")
-        .join(F.broadcast(qvec), "q_id")
+        base.join(F.broadcast(short), "vec_id")
         .select(
-            "q_id", "vec_id", "approx_cos", _wide_dot("qv", "nv").alias("cosine")
+            "q_id",
+            "vec_id",
+            "approx_cos",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("nv"),
         )
+    )
+    qvec = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("v", lambda x: x / F.col("nrm")).alias("qv"),
+    )
+    rer = rer.join(F.broadcast(qvec), "q_id").select(
+        "q_id", "vec_id", "approx_cos", _wide_dot("qv", "nv").alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -384,6 +384,7 @@ _BNLJ_ALLOWED = {
     "embedding_pca_power_iter",  # broadcast 1-row norm scalar
     "a_approx_quantile_sketch",  # 1-row exact-vs-sketch bound row
     "ann_ivf_cosine",  # broadcast 16-row codebook fan-out
+    "ann_pq_adc",  # broadcast per-query LUT rows vs wide code table (ADC)
     "dedup_semantic_semdedup",  # same broadcast codebook fan-out (IVF cells)
     "k9_k10_fetch_window",  # broadcast 1-row model constants
     "q15_top_supplier",  # TPC-H: 1-row max-revenue scalar
