@@ -50,13 +50,16 @@ from nzgmdb_spark.queries.registry import register
 # misses).
 #
 # Plan shape at 100 TB: one explode (~L windows/doc), one map-side
-# combinable count per window text, one shuffle equi-join of the window
+# combinable count per window key, one shuffle equi-join of the window
 # stream against its counts, one per-doc agg. No all-pairs anywhere; a
 # mega-frequent boilerplate span produces a single hot aggregation key
 # that partial aggregation absorbs map-side, and AQE skew-join handles
-# the join back. At cluster scale the window string would be xxhash64-ed
-# to 8 bytes before the shuffle (same grouping semantics, ~10x fewer
-# shuffle bytes); kept as text here so the DuckDB oracle is exact.
+# the join back. The registered path xxhash64-es the window string to
+# 8 bytes BEFORE the shuffle (~10x fewer shuffle bytes; grouping by
+# hash equals grouping by text up to 64-bit collisions, the standard
+# Lee-et-al trade); the text path is kept as an internal twin that the
+# exact DuckDB oracle mirrors, and a property test pins hashed == text
+# output on the test corpus.
 
 _SPAN_K = 8
 
@@ -80,9 +83,21 @@ HAVING sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) > 0
 
 @register("text_duplicate_spans", sql=DUP_SPANS_SQL, survey=["A2", "J7", "P7"])
 def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _duplicate_spans(spark, sf_dir, hashed=True)
+
+
+def _duplicate_spans(
+    spark: SparkSession, sf_dir: str, hashed: bool
+) -> DataFrame:
     from nzgmdb_spark.queries.dedup import _tokenized_docs
 
     toks = _tokenized_docs(spark, sf_dir)
+    # The span key: hashed = xxhash64 of the window string, computed
+    # map-side inside the explode lambda so the raw text never reaches
+    # an exchange; text = the window string itself (the oracle's shape).
+    span = f"array_join(slice(w, i, {_SPAN_K}), ' ')"
+    if hashed:
+        span = f"xxhash64({span})"
     # sequence() descends for stop < start — guard short docs explicitly
     # (DuckDB's generate_series is simply empty there).
     spans = toks.filter(F.size("w") >= _SPAN_K).select(
@@ -90,7 +105,7 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(w) - {_SPAN_K - 1}), "
-                f"i -> array_join(slice(w, i, {_SPAN_K}), ' '))"
+                f"i -> {span})"
             )
         ).alias("s"),
     )

@@ -193,3 +193,21 @@ def test_simhash_hamming_block_join_is_exact(spark):
             expect[(a, b)] = h
     assert got == expect
     assert len(expect) > 0, "fixture produced no hamming<=3 pairs (vacuous)"
+
+
+def test_duplicate_spans_hashed_equals_text(spark):
+    """The registered text_duplicate_spans shuffles xxhash64 span keys
+    (~10x fewer exchange bytes); grouping by hash must reproduce the
+    text-key twin (the oracle's shape) EXACTLY on the test corpus —
+    any 64-bit collision would merge two span groups and show here."""
+    from tests.conftest import SF_MEDIUM
+
+    from nzgmdb_spark.queries.corpus_stats import _duplicate_spans
+
+    def frame(hashed):
+        df = _duplicate_spans(spark, SF_MEDIUM, hashed=hashed).toPandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    hashed, text = frame(True), frame(False)
+    assert len(hashed) > 0, "vacuous: no duplicated spans in fixture"
+    assert hashed.equals(text)
