@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from nzgmdb_spark.functions import pround
 from nzgmdb_spark.operators.partitioning import spread
+from nzgmdb_spark.operators.topk import grouped_topk
 from nzgmdb_spark.queries.registry import register
 from nzgmdb_spark.session import session_cache_key
 from nzgmdb_spark.tables import tbl
@@ -139,12 +140,9 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
         .withColumn("cosine", _wide_dot("qv", "v") / (F.col("q_nrm") * F.col("nrm")))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("q_id", "vec_id", "cosine")
-    )
+    return grouped_topk(
+        scored, "q_id", "cosine", "vec_id", _TOP_K
+    ).select("q_id", "vec_id", "cosine")
 
 
 # --- LSH-bucketed ANN: 16 deterministic hyperplanes whose components are
@@ -304,12 +302,9 @@ def ann_lsh_hyperplane(
             "cosine", _wide_dot("qv", "v") / (F.col("q_nrm") * F.col("nrm"))
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("q_id", "vec_id", "cosine")
-    )
+    return grouped_topk(
+        scored, "q_id", "cosine", "vec_id", _TOP_K
+    ).select("q_id", "vec_id", "cosine")
 
 
 # --- IVF (inverted-file) ANN: the scale path for similarity search.
@@ -486,12 +481,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = _N_PROBE) -> DataFr
         .join(F.broadcast(qw), "q_id")
         .withColumn("cosine", _wide_dot("qv", "v") / (F.col("q_nrm") * F.col("nrm")))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("q_id", "vec_id", "cosine")
-    )
+    return grouped_topk(
+        scored, "q_id", "cosine", "vec_id", _TOP_K
+    ).select("q_id", "vec_id", "cosine")
 
 
 # --- Per-label embedding statistics (quality monitoring for a training-data
@@ -1190,13 +1182,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_w.join(F.broadcast(qlut), F.col("q_id") != F.col("vec_id"))
         .selectExpr("q_id", "vec_id", _ADC_EXPR)
     )
-    w_adc = Window.partitionBy("q_id").orderBy(
-        F.col("approx_cos").desc(), F.col("vec_id")
-    )
-    short = (
-        scored.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= _PQ_SHORTLIST)
-        .drop("rn")
+    short = grouped_topk(
+        scored, "q_id", "approx_cos", "vec_id", _PQ_SHORTLIST
     )
     # Exact rerank: the ONLY stage that reads raw vectors. The SHORTLIST
     # side is broadcast (|queries| × shortlist rows by construction), so
@@ -1220,12 +1207,9 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rer = rer.join(F.broadcast(qvec), "q_id").select(
         "q_id", "vec_id", "approx_cos", _wide_dot("qv", "nv").alias("cosine")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        rer.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("q_id", "vec_id", "approx_cos", "cosine")
-    )
+    return grouped_topk(
+        rer, "q_id", "cosine", "vec_id", _TOP_K, carry_cols=("approx_cos",)
+    ).select("q_id", "vec_id", "approx_cos", "cosine")
 
 
 # --- Distributed PCA power-iteration step: one iteration of the power

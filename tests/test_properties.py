@@ -737,3 +737,38 @@ def test_dsir_orders_target_slice_first(spark):
     assert frac_target >= 2 * (1 / _DSIR_TGT_MOD), (
         f"target fraction {frac_target:.2f} not enriched"
     )
+
+
+def test_grouped_topk_equals_window_ranking(spark):
+    """grouped_topk (two-level partition-local top-k) must reproduce the
+    row_number window ranking bit-for-bit — including duplicate scores
+    (id tie-break) and however the input happens to be partitioned."""
+    import random
+
+    from pyspark.sql import Window
+
+    from nzgmdb_spark.operators.topk import grouped_topk
+
+    rng = random.Random(11)
+    # few keys, many rows per key, heavy score ties to exercise tie-break
+    rows = [
+        (k, i, float(rng.randrange(50)) / 7.0)
+        for k in range(4)
+        for i in range(2_000)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "q_id int, vec_id int, score double"
+    ).repartition(13)  # partitioning must not affect the result
+    got = grouped_topk(df, "q_id", "score", "vec_id", 25).collect()
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("q_id", "score", "vec_id")
+        .collect()
+    )
+    key = lambda r: (r.q_id, -r.score, r.vec_id)
+    assert sorted(got, key=key) == sorted(want, key=key)
