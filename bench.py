@@ -33,6 +33,9 @@ def main() -> None:
         app_name="nzgmdb-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # No \r progress-bar frames: the driver embeds captured output in
+        # its machine-readable BENCH artifact (ADVICE r7).
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

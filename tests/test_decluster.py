@@ -438,3 +438,30 @@ def test_mag_bands_window_upper_bound():
     raw_w = {raw: w for raw, _, w in _mag_bands(2.7, 9.3, 0.5)}
     for raw, tb, w in merged:
         assert w + 1e-9 >= raw_w[raw]
+
+
+def test_auto_accept_fires_and_stays_exact(spark):
+    """The d + r_min ≤ cutoff auto-accept (null-corners kernel skip) must
+    actually FIRE on a small-polygon clustered catalog — a silent
+    deactivation would quietly put every near-field pair back through
+    the exact kernel — while flags stay identical to the sequential
+    greedy (which test_distributed_matches_sequential pins on the same
+    catalog shape)."""
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    events = _random_catalog(150, seed=41)
+    events.sort(key=lambda e: e["evid"])
+    a_seq, _ = decluster_catalog(events, crjb_cutoff_km=10.0)
+    df = spark.createDataFrame(
+        [(e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"]) for e in events],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: e["corners"] for e in events}
+    stats: dict = {}
+    out = decluster_distributed(df, corners, crjb_cutoff_km=10.0, stats=stats)
+    got = {r.evid: r.aftershock_flag for r in out.collect()}
+    assert [got[e["evid"]] for e in events] == a_seq
+    assert stats["pairs_auto_accepted"] > 0, (
+        "auto-accept bound never fired on a 2 km-square clustered catalog"
+    )
+    assert stats["pairs_auto_accepted"] <= stats["pairs_prefilter"]
