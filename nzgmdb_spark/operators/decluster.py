@@ -746,12 +746,13 @@ def decluster_distributed(
         # 0.15°-square benchmark (circumradius ~21 km > 10 km cutoff)
         # never fires it, by construction.
         .withColumn(
+            "_auto",
+            F.col("_hav")
+            <= F.lit(crjb_cutoff_km) - F.col("k_rmin_km") - F.lit(1e-6),
+        )
+        .withColumn(
             "k_corners",
-            F.when(
-                F.col("_hav")
-                <= F.lit(crjb_cutoff_km) - F.col("k_rmin_km") - F.lit(1e-6),
-                F.lit(None),
-            ).otherwise(F.col("k_corners")),
+            F.when(F.col("_auto"), F.lit(None)).otherwise(F.col("k_corners")),
         )
         .drop("_hav")
         # Hash-partition the survivors by claimer BEFORE the UDF: (a)
@@ -769,9 +770,13 @@ def decluster_distributed(
         # exact CRJB UDF must score). Costs one extra pass of the join
         # (stats callers are scaling/observability runs, not the hot
         # path — pass stats=None to skip it).
+        # Count the auto flag, NOT isNull(k_corners): the flag keeps this
+        # stats-only pass prunable — reading k_corners here would force
+        # the (wide) corner arrays through the whole join just to count
+        # (measured +3.6x on the 10M catalog's t_join before the fix).
         pf = prefiltered.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("k_corners").isNull().cast("bigint")).alias("auto"),
+            F.sum(F.col("_auto").cast("bigint")).alias("auto"),
         ).first()
         stats["pairs_prefilter"] = pf.n
         # pairs proved eligible by the d + r_min ≤ cutoff bound (never
