@@ -203,9 +203,11 @@ def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~3.31–3.67, so 3.4 ≈ the median splits it meaningfully).
 #
 # Plan shape at 100 TB: unigram/bigram counts are map-side-combinable
-# aggs; the unigram table (vocab) broadcasts; the bigram-count join is
-# the one corpus-sized shuffle (on (w1,w2), skew absorbed by partial
-# agg + AQE); scoring is then map-side; per-doc agg closes. The
+# aggs; the unigram table (vocab) broadcasts; the score lookup is the
+# one corpus-sized shuffle, and its stream side carries only
+# (doc_id, xxhash64(w1, w2)) — 16-byte rows, strings stay map-side
+# (skew absorbed by partial agg + AQE); scoring is then map-side;
+# per-doc agg closes. The
 # DECIMAL(38,12) cast on each log term makes the per-doc sum
 # reduction-order-proof, so the value hash is stable across engines and
 # partitionings.
@@ -245,6 +247,10 @@ GROUP BY doc_id
 
 @register("text_bigram_perplexity", sql=BIGRAM_NLL_SQL, survey=["A2", "F9", "J1"])
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bigram_nll(spark, sf_dir, hashed=True)
+
+
+def _bigram_nll(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
     from nzgmdb_spark.queries.dedup import _tokenized_docs
 
     toks = _tokenized_docs(spark, sf_dir)
@@ -261,9 +267,19 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc = uni.groupBy("wd").agg(F.count(F.lit(1)).alias("cu"))
     nu = uni.agg(F.count(F.lit(1)).alias("n"))
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    scored = (
-        bi.join(bc, ["w1", "w2"])
-        .join(
+    # Per-DISTINCT-bigram score: the vocab joins broadcast against the
+    # (partial-agg-shrunk) bigram-count table, so the corpus-sized bigram
+    # stream never carries strings into the scoring join.
+    lp = (
+        F.log(
+            F.lit(0.7) * (F.col("cb").cast("double") / F.col("cu1"))
+            + F.lit(0.3) * (F.col("cu2").cast("double") / F.col("n"))
+        )
+        .cast("decimal(38,12)")
+        .alias("lp")
+    )
+    bcl = (
+        bc.join(
             F.broadcast(uc.select(F.col("wd").alias("w1"), F.col("cu").alias("cu1"))),
             "w1",
         )
@@ -272,16 +288,31 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
         )
         .crossJoin(F.broadcast(nu))
-        .select(
-            "doc_id",
-            F.log(
-                F.lit(0.7) * (F.col("cb").cast("double") / F.col("cu1"))
-                + F.lit(0.3) * (F.col("cu2").cast("double") / F.col("n"))
-            )
-            .cast("decimal(38,12)")
-            .alias("lp"),
-        )
     )
+    if hashed:
+        # The corpus-sized exchange ships (doc_id, xxhash64(w1, w2)) —
+        # 16-byte rows, computed inside the explode lambda so the bigram
+        # strings never leave the map side of the stream. Keying the
+        # score lookup by hash equals keying by (w1, w2) up to 64-bit
+        # collisions (the same Lee-et-al trade as text_duplicate_spans);
+        # the string-keyed twin below mirrors the exact DuckDB oracle and
+        # a property test pins hashed == text output frame-for-frame.
+        bih = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> xxhash64(element_at(w, i), element_at(w, i + 1)))"
+                )
+            ).alias("h"),
+        )
+        scored = bih.join(
+            bcl.select(F.xxhash64("w1", "w2").alias("h"), lp), "h"
+        ).select("doc_id", "lp")
+    else:
+        scored = bi.join(bcl.select("w1", "w2", lp), ["w1", "w2"]).select(
+            "doc_id", "lp"
+        )
     nll = -(F.sum("lp").cast("double")) / F.count(F.lit(1))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

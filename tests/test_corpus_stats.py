@@ -211,3 +211,22 @@ def test_duplicate_spans_hashed_equals_text(spark):
     hashed, text = frame(True), frame(False)
     assert len(hashed) > 0, "vacuous: no duplicated spans in fixture"
     assert hashed.equals(text)
+
+
+def test_bigram_perplexity_hashed_equals_text(spark):
+    """The registered text_bigram_perplexity ships (doc_id, xxhash64(w1,w2))
+    through the corpus-sized score-lookup exchange; keying by hash must
+    reproduce the string-keyed twin (the oracle's shape) EXACTLY on the
+    test corpus — a 64-bit collision would misroute a bigram's score and
+    show up in avg_nll here."""
+    from tests.conftest import SF_MEDIUM
+
+    from nzgmdb_spark.queries.corpus_stats import _bigram_nll
+
+    def frame(hashed):
+        df = _bigram_nll(spark, SF_MEDIUM, hashed=hashed).toPandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    hashed, text = frame(True), frame(False)
+    assert len(hashed) > 0, "vacuous: empty bigram scoring output"
+    assert hashed.equals(text)
