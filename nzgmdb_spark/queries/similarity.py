@@ -1152,9 +1152,11 @@ _ADC_EXPR = (
 )
 
 
-@register("ann_pq_adc", sql=PQ_SQL, survey=["J14", "J15", "A1"])
-def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cb, codes_w = _pq_index(spark, sf_dir)
+def _pq_qlut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC lookup table, one row per q_id: lut{k}[cid + 1] =
+    the inner product of query subvector k with centroid cid. |queries| ×
+    M × K doubles — broadcast-size by construction."""
+    cb, _ = _pq_index(spark, sf_dir)
     sub = _pq_subvectors(spark, sf_dir)
     lut = (
         sub.filter(F.col("vec_id") < _N_QUERIES)
@@ -1162,10 +1164,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cb), "m")
         .select("q_id", "m", "cid", _wide_dot("sv", "wv").alias("ipd"))
     )
-    # Per-query LUT pivoted to one row per q_id: lut{k}[cid + 1] = the
-    # inner product of query subvector k with centroid cid. |queries| ×
-    # M × K doubles — broadcast-size by construction.
-    qlut = lut.groupBy("q_id").agg(
+    return lut.groupBy("q_id").agg(
         *[
             F.expr(
                 f"transform(array_sort(collect_list(CASE WHEN m = {k} THEN "
@@ -1174,22 +1173,14 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_PQ_M)
         ]
     )
-    # The scoring stage: wide codes meet the broadcast LUT row set once
-    # (|queries|× map-side fan-out, the deliberate BNLJ of every ANN
-    # batch), ADC is summed in place — NO exchange until the shortlist
-    # top-k itself.
-    scored = (
-        codes_w.join(F.broadcast(qlut), F.col("q_id") != F.col("vec_id"))
-        .selectExpr("q_id", "vec_id", _ADC_EXPR)
-    )
-    short = grouped_topk(
-        scored, "q_id", "approx_cos", "vec_id", _PQ_SHORTLIST
-    )
-    # Exact rerank: the ONLY stage that reads raw vectors. The SHORTLIST
-    # side is broadcast (|queries| × shortlist rows by construction), so
-    # the scan of the staged vector table is filtered map-side — no
-    # corpus-sized exchange — and normalization (the per-element divide)
-    # runs on surviving rows only.
+
+
+def _pq_rerank(spark: SparkSession, sf_dir: str, short: DataFrame) -> DataFrame:
+    """Exact top-k rerank of an ADC shortlist: the ONLY stage that reads
+    raw vectors. The SHORTLIST side is broadcast (|queries| × shortlist
+    rows by construction), so the scan of the staged vector table is
+    filtered map-side — no corpus-sized exchange — and normalization (the
+    per-element divide) runs on surviving rows only."""
     base = _wide_cached(spark, sf_dir)
     rer = (
         base.join(F.broadcast(short), "vec_id")
@@ -1210,6 +1201,148 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(
         rer, "q_id", "cosine", "vec_id", _TOP_K, carry_cols=("approx_cos",)
     ).select("q_id", "vec_id", "approx_cos", "cosine")
+
+
+@register("ann_pq_adc", sql=PQ_SQL, survey=["J14", "J15", "A1"])
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, codes_w = _pq_index(spark, sf_dir)
+    qlut = _pq_qlut(spark, sf_dir)
+    # The scoring stage: wide codes meet the broadcast LUT row set once
+    # (|queries|× map-side fan-out, the deliberate BNLJ of every ANN
+    # batch), ADC is summed in place — NO exchange until the shortlist
+    # top-k itself.
+    scored = (
+        codes_w.join(F.broadcast(qlut), F.col("q_id") != F.col("vec_id"))
+        .selectExpr("q_id", "vec_id", _ADC_EXPR)
+    )
+    short = grouped_topk(
+        scored, "q_id", "approx_cos", "vec_id", _PQ_SHORTLIST
+    )
+    return _pq_rerank(spark, sf_dir, short)
+
+
+# --- IVF-PQ: the composed FAISS-style scale path (coarse IVF cell
+# pruning × PQ-compressed ADC scoring × exact rerank). IVF alone scans
+# raw vectors inside probed cells; PQ alone ADC-scans the WHOLE corpus'
+# codes per batch. Composed, query-time work is (probed cells only) ×
+# (8 code bytes/vector): at 100 TB the index is a persisted
+# cell-partitioned code table ~1/32 the corpus bytes, the probe set
+# prunes ~(nprobe/ncells) of it per query, and the only raw-vector
+# reads are the broadcast-filtered rerank shortlist.
+#
+# Plan shape: the cell-augmented wide code table is built ONCE (one
+# build-time join of the two session indexes, localCheckpoint-pinned);
+# per batch, probes ⋈ per-query LUT rows broadcast, meet the code table
+# in a broadcast-hash equi-join ON CELL (map-side pruning — not the PQ
+# BNLJ), ADC sums in place, and nothing corpus-sized reaches an
+# exchange until the shortlist top-k's bounded aggregation.
+# Reference parity: composes the same J14/J15 neighbor-search semantics
+# as ann_ivf_cosine/ann_pq_adc (SURVEY §2.11); reference has no ANN —
+# this is the beyond-reference LLM-pipeline family.
+
+IVFPQ_SQL = f"""
+WITH {_NORMS_CTE},
+{_IVF_CTE},
+sdims AS (
+  SELECT d.vec_id, dim // {_PQ_DSUB} AS m, dim % {_PQ_DSUB} AS dd,
+         d.v / n.nrm AS v
+  FROM dims d JOIN norms n ON n.vec_id = d.vec_id
+),
+cent AS (SELECT vec_id AS cid, m, dd, v AS wv FROM sdims WHERE vec_id < {_PQ_K}),
+dist AS (
+  SELECT s.vec_id, s.m, c.cid,
+         CAST(sum(CAST((s.v - c.wv) * (s.v - c.wv) AS DECIMAL(38,12))) AS DOUBLE) AS dist
+  FROM sdims s JOIN cent c ON c.m = s.m AND c.dd = s.dd
+  GROUP BY s.vec_id, s.m, c.cid
+),
+codes AS (
+  SELECT vec_id, m, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+),
+lut AS (
+  SELECT s.vec_id AS q_id, s.m, c.cid,
+         CAST(sum(CAST(s.v * c.wv AS DECIMAL(38,12))) AS DOUBLE) AS ipd
+  FROM sdims s JOIN cent c ON c.m = s.m AND c.dd = s.dd
+  WHERE s.vec_id < {_N_QUERIES}
+  GROUP BY s.vec_id, s.m, c.cid
+),
+cand AS (
+  SELECT p.q_id, c.vec_id
+  FROM probes p JOIN cells c ON c.cell = p.cell
+  WHERE c.vec_id <> p.q_id
+),
+adc AS (
+  SELECT ca.q_id, ca.vec_id,
+         CAST(sum(CAST(l.ipd AS DECIMAL(38,12))) AS DOUBLE) AS approx_cos
+  FROM cand ca
+  JOIN codes co ON co.vec_id = ca.vec_id
+  JOIN lut l ON l.q_id = ca.q_id AND l.m = co.m AND l.cid = co.cid
+  GROUP BY ca.q_id, ca.vec_id
+),
+short AS (
+  SELECT q_id, vec_id, approx_cos FROM adc
+  QUALIFY row_number() OVER (
+    PARTITION BY q_id ORDER BY approx_cos DESC, vec_id
+  ) <= {_PQ_SHORTLIST}
+),
+ndims AS (
+  SELECT d.vec_id, d.dim, d.v / n.nrm AS v
+  FROM dims d JOIN norms n ON n.vec_id = d.vec_id
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, s.approx_cos,
+         CAST(sum(CAST(qd.v * cd.v AS DECIMAL(38,12))) AS DOUBLE) AS cosine
+  FROM short s
+  JOIN ndims qd ON qd.vec_id = s.q_id
+  JOIN ndims cd ON cd.vec_id = s.vec_id AND cd.dim = qd.dim
+  GROUP BY s.q_id, s.vec_id, s.approx_cos
+)
+SELECT q_id, vec_id, approx_cos, cosine FROM rerank
+QUALIFY row_number() OVER (
+  PARTITION BY q_id ORDER BY cosine DESC, vec_id
+) <= {_TOP_K}
+"""
+
+# Session-level cell-augmented code table: the IVFPQ index proper. One
+# build-time equi-join of the two session indexes (cell assignment ⋈
+# wide PQ codes); at cluster scale this is the table a deployment
+# PARTITIONS BY cell on disk, so a probe reads only its cells' files.
+_IVFPQ_CODES_CACHE: dict = {}
+
+
+def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = session_cache_key(spark, sf_dir)
+    hit = _IVFPQ_CODES_CACHE.get(key)
+    if hit is None:
+        ranked, _ = _ivf_index(spark, sf_dir)
+        _, codes_w = _pq_index(spark, sf_dir)
+        cells = ranked.filter(F.col("rn") == 1).select(
+            "vec_id", F.col("c_id").alias("cell")
+        )
+        hit = codes_w.join(cells, "vec_id").localCheckpoint()
+        _IVFPQ_CODES_CACHE[key] = hit
+    return hit
+
+
+@register("ann_ivf_pq", sql=IVFPQ_SQL, survey=["J14", "J15", "A1"])
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked, _ = _ivf_index(spark, sf_dir)
+    codes_cell = _ivfpq_codes(spark, sf_dir)
+    probes = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _N_PROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("cell"))
+    )
+    # One broadcast relation carries both the probe set and each query's
+    # LUT row; the code table meets it in an equi-join on cell, so ADC
+    # runs map-side on probed cells only.
+    qp = probes.join(_pq_qlut(spark, sf_dir), "q_id")
+    scored = (
+        codes_cell.join(F.broadcast(qp), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .selectExpr("q_id", "vec_id", _ADC_EXPR)
+    )
+    short = grouped_topk(scored, "q_id", "approx_cos", "vec_id", _PQ_SHORTLIST)
+    return _pq_rerank(spark, sf_dir, short)
 
 
 # --- Distributed PCA power-iteration step: one iteration of the power

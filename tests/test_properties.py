@@ -447,6 +447,13 @@ def test_ann_recall_floors_clustered(spark):
         # (and 0.90 on the isotropic sf0.01 testdata). Floors ~0.05-0.10
         # under measurement, same calibration rule as above.
         ("ann_pq_adc", 0.85, 0.75),
+        # IVF×PQ composition: on clustered data the coarse cell pruning
+        # loses nothing (probed cells contain the true neighbors), so
+        # recall equals the PQ path exactly — measured 0.92 mean /
+        # 0.80 min, same floors. (On isotropic data it is bounded by the
+        # IVF cell pruning instead — 0.42/0.20, matching ann_ivf_cosine —
+        # the documented adversarial case, not a regression.)
+        ("ann_ivf_pq", 0.85, 0.75),
     ]:
         got = _topk_sets(reg[name].fn(spark, d))
         recalls = [
