@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from nzgmdb_spark.functions import pround
 from nzgmdb_spark.queries.registry import register
+from nzgmdb_spark.queries.similarity import _NORMS_CTE
 from nzgmdb_spark.tables import tbl
 
 # ---------------------------------------------------------------------------
@@ -823,4 +824,261 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("alr"), 6).alias("avg_log_ratio"),
             pround(F.col("gk").cast("double"), 6).alias("gumbel_key"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 (k1 = 1.2, b = 0.75) over the fixed search-term set — the
+# probabilistic upgrade of text_search_topk's TF-IDF ranking: term-
+# frequency saturation (a 100-hit doc is not 100× more relevant than a
+# 10-hit doc) and document-length normalization (long docs stop winning
+# on raw counts). Robertson-style non-negative idf,
+# ln(1 + (N − df + ½)/(df + ½)). Plan shape matches TF-IDF: the term
+# filter lands BEFORE any aggregation (at 100 TB: a posting-list read
+# for 3 terms, never a per-query corpus scan), document length is
+# computed map-side from the text column (zero extra shuffle), df and
+# the corpus length stats are broadcast scalars, and the (≤3) per-term
+# weights add in FIXED written order so both engines produce
+# bit-identical doubles.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+# Per-term weight, written ONCE and substituted into both engines'
+# expressions with identical operator order/associativity:
+#   idf(t) * (tf * 2.2) / (tf + k1 * (0.25 + 0.75 * dl / avgdl))
+_BM25_W_SQL = (
+    "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    " * (h.tf * 2.2)"
+    " / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))"
+)
+
+_BM25_PIVOT_SQL = ", ".join(
+    f"max(CASE WHEN tok = '{t}' THEN w END) AS w{i}"
+    for i, t in enumerate(_SEARCH_TERMS)
+)
+
+_BM25_TOTAL_SQL = " + ".join(
+    f"COALESCE(w{i}, 0.0)" for i in range(len(_SEARCH_TERMS))
+)
+
+_BM25_CORE_CTE = f"""
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM toks WHERE tok IN {str(tuple(_SEARCH_TERMS))}
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM hits GROUP BY tok),
+scored AS (
+  SELECT h.doc_id, h.tok, {_BM25_W_SQL} AS w
+  FROM hits h
+  JOIN df d ON d.tok = h.tok
+  JOIN dl l ON l.doc_id = h.doc_id
+  CROSS JOIN stats s
+),
+per_doc AS (SELECT doc_id, {_BM25_PIVOT_SQL} FROM scored GROUP BY doc_id)
+"""
+
+BM25_SQL = f"""
+WITH {_BM25_CORE_CTE}
+SELECT doc_id,
+       floor(({_BM25_TOTAL_SQL}) * 1000000.0 + 0.5) / 1000000.0 AS score,
+       row_number() OVER (
+         ORDER BY {_BM25_TOTAL_SQL} DESC, doc_id
+       ) AS rank
+FROM per_doc
+QUALIFY rank <= {_BM25_TOPK}
+"""
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, object]:
+    """(per_doc frame with w0..wN pivot columns, total-score Column) —
+    the shared core of the BM25 and hybrid-RRF rankers."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # Document length map-side from the text column — no aggregation.
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = (
+        toks.filter(F.col("tok").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # hits is df-bounded (docs containing ≥1 query term); the dl join is
+    # an equi-join the optimizer can run broadcast from the hits side
+    # when the posting lists are small, or shuffled when they aren't —
+    # either way nothing here scans the corpus per query.
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(0.25) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", w.alias("w"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("w"))).alias(f"w{i}")
+            for i, t in enumerate(_SEARCH_TERMS)
+        ]
+    )
+    total = None
+    for i in range(len(_SEARCH_TERMS)):
+        term = F.coalesce(F.col(f"w{i}"), F.lit(0.0))
+        total = term if total is None else total + term
+    return per_doc, total
+
+
+@register("text_search_bm25", sql=BM25_SQL, survey=["O3", "A2", "F9"])
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc, total = _bm25_per_doc(spark, sf_dir)
+    w = Window.orderBy(total.desc(), F.col("doc_id"))
+    return (
+        per_doc.select(
+            "doc_id",
+            pround(total, 6).alias("score"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= _BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+# fuse the BM25 keyword top-20 with an embedding-cosine top-20 (seeded
+# by doc 0's vector — the "more-like-this" shape) through
+# score(d) = Σ_lists 1/(60 + rank_d). RRF is the standard production
+# fusion for keyword+vector retrieval because it needs no score
+# calibration between the two lists — only ranks. Plan shape: the two
+# ranklists are tiny (≤ depth rows each) regardless of corpus size, so
+# the fusion itself is a broadcast-size full-outer join; all the heavy
+# lifting happens inside the two upstream retrievers, which keep their
+# own documented 100 TB shapes (BM25: posting-list read; cosine:
+# one corpus pass here, or the IVF/PQ index path when approximate
+# recall is acceptable — the fusion is retriever-agnostic). The
+# embeddings table covers a vec_id prefix of the doc_id space at scale
+# (partial embedding coverage), which the full-outer fusion handles by
+# construction.
+
+_RRF_C = 60  # Cormack et al.'s k — dampens the head of each list
+_RRF_DEPTH = 20
+_RRF_TOPK = 10
+
+_RRF_CONTRIB_SQL = (
+    f"COALESCE(1.0 / ({_RRF_C} + k.rank_kw), 0.0)"
+    f" + COALESCE(1.0 / ({_RRF_C} + v.rank_vec), 0.0)"
+)
+
+RRF_SQL = f"""
+WITH {_BM25_CORE_CTE},
+{_NORMS_CTE.strip()},
+qdims AS (SELECT dim, v AS qv FROM dims WHERE vec_id = 0),
+dots AS (
+  SELECT d.vec_id AS c_id,
+         CAST(sum(CAST(q.qv * d.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM qdims q JOIN dims d ON q.dim = d.dim
+  WHERE d.vec_id <> 0
+  GROUP BY d.vec_id
+),
+vrank AS (
+  SELECT c_id AS id,
+         row_number() OVER (
+           ORDER BY dot / (nq.nrm * nv.nrm) DESC, c_id
+         ) AS rank_vec
+  FROM dots
+  JOIN norms nq ON nq.vec_id = 0
+  JOIN norms nv ON nv.vec_id = c_id
+  QUALIFY rank_vec <= {_RRF_DEPTH}
+),
+krank AS (
+  SELECT doc_id AS id,
+         row_number() OVER (
+           ORDER BY {_BM25_TOTAL_SQL} DESC, doc_id
+         ) AS rank_kw
+  FROM per_doc
+  QUALIFY rank_kw <= {_RRF_DEPTH}
+)
+SELECT COALESCE(k.id, v.id) AS doc_id,
+       k.rank_kw,
+       v.rank_vec,
+       floor(({_RRF_CONTRIB_SQL}) * 100000000.0 + 0.5) / 100000000.0
+         AS rrf_score,
+       row_number() OVER (
+         ORDER BY {_RRF_CONTRIB_SQL} DESC, COALESCE(k.id, v.id)
+       ) AS rank
+FROM krank k FULL OUTER JOIN vrank v ON v.id = k.id
+QUALIFY rank <= {_RRF_TOPK}
+"""
+
+
+@register("retrieval_hybrid_rrf", sql=RRF_SQL, survey=["O3", "J9", "A2"])
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.queries.similarity import _wide, _wide_dot
+
+    per_doc, total = _bm25_per_doc(spark, sf_dir)
+    wk = Window.orderBy(total.desc(), F.col("doc_id"))
+    krank = (
+        per_doc.select(
+            F.col("doc_id").alias("kid"),
+            F.row_number().over(wk).alias("rank_kw"),
+        )
+        .filter(F.col("rank_kw") <= _RRF_DEPTH)
+    )
+
+    e = _wide(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dots = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            (_wide_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    wv = Window.orderBy(F.col("cosine").desc(), F.col("id"))
+    vrank = dots.select("id", F.row_number().over(wv).alias("rank_vec")).filter(
+        F.col("rank_vec") <= _RRF_DEPTH
+    )
+
+    fused = krank.join(vrank, krank.kid == vrank.id, "full_outer")
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_kw")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_vec")), F.lit(0.0))
+    wr = Window.orderBy(contrib.desc(), F.coalesce(F.col("kid"), F.col("id")))
+    return (
+        fused.select(
+            F.coalesce("kid", "id").alias("doc_id"),
+            "rank_kw",
+            "rank_vec",
+            pround(contrib, 8).alias("rrf_score"),
+            F.row_number().over(wr).alias("rank"),
+        )
+        .filter(F.col("rank") <= _RRF_TOPK)
     )

@@ -230,3 +230,87 @@ def test_bigram_perplexity_hashed_equals_text(spark):
     hashed, text = frame(True), frame(False)
     assert len(hashed) > 0, "vacuous: empty bigram scoring output"
     assert hashed.equals(text)
+
+
+def _write_retrieval_corpus(spark, root):
+    """Tiny planted corpus for the BM25/RRF property tests: documents +
+    matching embeddings under one sf-dir layout."""
+    filler = " ".join(f"tok{i}" for i in range(10))
+    docs = [
+        # doc 0 is the RRF seed vector's doc; neutral text (no query terms)
+        (0, filler, "en", "seed", 0),
+        # doc 1: tf('spark')=10 in a 100-token doc
+        (1, " ".join(["spark"] * 10 + ["pad"] * 90), "en", "a", 0),
+        # doc 2: tf=1 in a 100-token doc
+        (2, " ".join(["spark"] * 1 + ["pad"] * 99), "en", "a", 0),
+        # doc 3: tf=10 but 1000 tokens — length-normalized below doc 1
+        (3, " ".join(["spark"] * 10 + ["pad"] * 990), "en", "a", 0),
+        # doc 4: keyword-only hit (vector orthogonal to the seed)
+        (4, " ".join(["spark"] * 5 + ["pad"] * 95), "en", "a", 0),
+        # doc 5: both-lists doc — keyword hit AND near the seed vector
+        (5, " ".join(["spark"] * 6 + ["pad"] * 94), "en", "a", 0),
+        # doc 6: vector-only hit (no query terms)
+        (6, filler, "en", "a", 0),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s, _ in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],   # seed
+        5: [0.9, 0.1, 0.0, 0.0],   # closest to seed
+        6: [0.8, 0.2, 0.0, 0.0],   # second closest
+        1: [-1.0, 0.0, 0.0, 0.0],  # anti-correlated: bottom of the vector list
+        2: [0.0, 0.0, 1.0, 0.0],
+        3: [0.0, 0.0, 0.0, 1.0],
+        4: [0.0, -1.0, 0.0, 0.0],
+    }
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in sorted(vecs.items())],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/embeddings.parquet")
+
+
+def test_bm25_saturation_and_length_norm(spark, tmp_path):
+    """The two properties BM25 adds over TF-IDF, planted: (a) term-
+    frequency saturation — 10x the tf must yield far less than 10x the
+    score; (b) length normalization — same tf in a 10x-longer doc must
+    score lower."""
+    from nzgmdb_spark.queries.curation import _bm25_per_doc
+
+    root = str(tmp_path / "sf")
+    _write_retrieval_corpus(spark, root)
+    per_doc, total = _bm25_per_doc(spark, root)
+    scores = {
+        r["doc_id"]: r["s"]
+        for r in per_doc.select("doc_id", total.alias("s")).collect()
+    }
+    assert scores[1] > scores[2], "more in-doc hits must score higher"
+    assert scores[1] < 10 * scores[2] * 0.5, (
+        f"tf saturation violated: tf=10 scored {scores[1]:.3f} vs "
+        f"tf=1 {scores[2]:.3f} (ratio {scores[1]/scores[2]:.1f}, "
+        "expected well under 10)"
+    )
+    assert scores[1] > scores[3], "same tf in a 10x-longer doc must score lower"
+
+
+def test_rrf_both_lists_beats_single_list(spark, tmp_path):
+    """A document that appears in BOTH ranklists (keyword hit + near the
+    seed vector) must out-fuse documents that top only one list — the
+    defining property of reciprocal-rank fusion."""
+    from nzgmdb_spark.queries.curation import retrieval_hybrid_rrf
+
+    root = str(tmp_path / "sf")
+    _write_retrieval_corpus(spark, root)
+    rows = retrieval_hybrid_rrf(spark, root).orderBy("rank").collect()
+    assert rows, "vacuous: empty fusion output"
+    top = rows[0]
+    assert top["doc_id"] == 5, f"expected both-lists doc 5 first, got {top}"
+    assert top["rank_kw"] is not None and top["rank_vec"] is not None
+    # every fused row carries at least one source rank
+    assert all(
+        r["rank_kw"] is not None or r["rank_vec"] is not None for r in rows
+    )
+    # fused scores are non-increasing in rank
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -390,6 +390,8 @@ _BNLJ_ALLOWED = {
     "q15_top_supplier",  # TPC-H: 1-row max-revenue scalar
     "q20_share_threshold",  # TPC-H: 1-row share threshold
     "text_search_topk",  # broadcast 1-row corpus-size scalar
+    "text_search_bm25",  # broadcast 1-row corpus length-stats scalar
+    "retrieval_hybrid_rrf",  # broadcast 1-row stats scalar + 1-row seed vector
     "text_unigram_logprob",  # broadcast 1-row token-total scalar
     "dsir_importance_select",  # broadcast 1-row feature-total scalar
     # broadcast 1-row query-norm scalar in candidate generation (was hidden

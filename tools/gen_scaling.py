@@ -199,6 +199,7 @@ def main() -> None:
         "knn_cosine_bruteforce",
         "ann_lsh_hyperplane",
         "ann_pq_adc",
+        "ann_ivf_pq",
     ]
     fam_rows = []
     if "sf1" in sfs:

@@ -27,7 +27,7 @@ QUERIES = [
     # round-6 corpus family: the ops whose 100 TB story is the engine's
     # headline — each needs the same two-consecutive-10x evidence
     "dedup_segment_rewrite", "text_cdc_chunks", "text_bigram_perplexity",
-    "text_duplicate_spans", "ann_pq_adc",
+    "text_duplicate_spans", "ann_pq_adc", "ann_ivf_pq",
 ]
 
 
