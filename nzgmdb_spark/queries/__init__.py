@@ -31,6 +31,7 @@ _MODULES = (
     "nzgmdb_spark.queries.scale_ops",
     "nzgmdb_spark.queries.curation",
     "nzgmdb_spark.queries.corpus_stats",
+    "nzgmdb_spark.queries.training_prep",
 )
 
 

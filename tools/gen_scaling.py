@@ -200,6 +200,10 @@ def main() -> None:
         "ann_lsh_hyperplane",
         "ann_pq_adc",
         "ann_ivf_pq",
+        "dedup_simhash_hamming",
+        "dedup_edit_distance",
+        "text_quality_classifier",
+        "similarity_random_projection",
     ]
     fam_rows = []
     if "sf1" in sfs:

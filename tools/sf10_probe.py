@@ -28,6 +28,9 @@ QUERIES = [
     # headline — each needs the same two-consecutive-10x evidence
     "dedup_segment_rewrite", "text_cdc_chunks", "text_bigram_perplexity",
     "text_duplicate_spans", "ann_pq_adc", "ann_ivf_pq",
+    # round-8: the de-flooded Hamming search and the new training-prep ops
+    "dedup_simhash_hamming", "dedup_edit_distance",
+    "text_quality_classifier", "similarity_random_projection",
 ]
 
 
