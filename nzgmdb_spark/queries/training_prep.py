@@ -11,9 +11,9 @@ edits), and allocating a sampling budget across domains UniMax-style
 Scale design notes per operator are on the functions. Shared idioms:
 portable pseudo-randomness is md5-derived integers (no RNG, identical in
 Spark and DuckDB), displayed floats go through ``pround`` (portable
-half-up rounding), and dot products / projections accumulate in
-DECIMAL(38,12) so the reduction order is irrelevant and results are
-bit-identical to the oracle.
+half-up rounding), and dot products / projections accumulate exactly
+(fixed-point BIGINT) so the reduction order is irrelevant and results
+are bit-identical to the oracle.
 """
 
 from __future__ import annotations
@@ -394,4 +394,64 @@ def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         pround(quota, 6).alias("quota"),
         F.floor(quota).cast("bigint").alias("quota_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-label classification (label propagation over embeddings)
+#
+# The simplest embedding-space classifier: predict a query vector's label
+# by majority vote of its top-10 cosine neighbors (deterministic
+# tie-break: highest vote count, then smallest label). Composes the
+# registered brute-force kNN — the declared-O(n) baseline — so the vote
+# inherits its decimal-exact cosine ranking; swap in the IVF/PQ searchers
+# for the 100 TB path (identical downstream vote).
+#
+# 100 TB plan: the kNN result is O(queries * k) rows; the label join
+# broadcasts it against the corpus scan, and the vote aggregation is over
+# that tiny relation — nothing beyond the underlying search touches the
+# full corpus.
+# ---------------------------------------------------------------------------
+
+from nzgmdb_spark.queries.similarity import KNN_SQL, knn_cosine_bruteforce  # noqa: E402
+
+KNN_LABEL_SQL = f"""
+WITH knn AS ({KNN_SQL}),
+votes AS (
+  SELECT k.q_id, e.label, count(*) AS n_votes
+  FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+  GROUP BY k.q_id, e.label
+)
+SELECT q_id, CAST(label AS INT) AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM votes
+QUALIFY row_number() OVER (
+  PARTITION BY q_id ORDER BY n_votes DESC, label) = 1
+"""
+
+
+@register(
+    "knn_label_vote",
+    sql=KNN_LABEL_SQL,
+    survey=["A1", "A2", "J1"],
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = knn_cosine_bruteforce(spark, sf_dir)
+    labels = tbl(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        labels.join(F.broadcast(knn), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "q_id",
+            F.col("label").cast("int").alias("predicted_label"),
+            "n_votes",
+        )
     )

@@ -372,6 +372,7 @@ _BNLJ_ALLOWED = {
     "k16_ngasub_tectclass",  # broadcast slab grid scalar bounds
     "k17_preferred_magnitude",  # broadcast 1-row config thresholds
     "knn_cosine_bruteforce",  # the labeled brute-force baseline
+    "knn_label_vote",  # composes the brute-force baseline (same BNLJ)
     "q11_important_share",  # TPC-H: 1-row global-share scalar
     "q22_dormant_customers",  # TPC-H: 1-row average-balance scalar
     "text_stratified_sample",  # broadcast per-stratum threshold rows

@@ -136,3 +136,73 @@ def test_unimax_waterfilling_feasible_and_tight(spark):
         assert t.nunique() == 1
         whole = out[out.quota >= out.n_docs]
         assert (whole.n_docs <= t.iloc[0] + 1e-9).all()
+
+
+def test_sessionize_planted_sessions(spark, tmp_path):
+    # user 1: events at +0, +10 min, +45 min -> the 35-min gap breaks the
+    # session at the third event; user 2: one lonely event.
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=10),
+                base + pd.Timedelta(minutes=45),
+                base,
+            ],
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["c"] * 4,
+            "value": [1.0, 2.0, 4.0, 8.0],
+            "props": ['{"k": 1}'] * 4,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = (
+        _q("t_sessionize")(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert list(out.user_id) == [1, 1, 2]
+    assert list(out.session_id) == [1, 2, 1]
+    assert list(out.n_events) == [2, 1, 1]
+    assert list(out.total_value) == [3.0, 4.0, 8.0]
+    assert list(out.duration_us) == [600_000_000, 0, 0]
+
+
+def test_sessionize_partitions_all_events(spark):
+    from nzgmdb_spark.tables import tbl
+
+    out = _q("t_sessionize")(spark, SF_MEDIUM).toPandas()
+    n_events = tbl(spark, SF_MEDIUM, "events").count()
+    assert out.n_events.sum() == n_events
+    assert (out.duration_us >= 0).all()
+    # session ids are dense 1..k per user
+    for _, g in out.groupby("user_id"):
+        assert sorted(g.session_id) == list(range(1, len(g) + 1))
+
+
+def test_knn_label_vote_matches_neighbor_mode(spark):
+    from nzgmdb_spark.tables import tbl
+
+    pred = (
+        _q("knn_label_vote")(spark, SF_MEDIUM)
+        .toPandas()
+        .set_index("q_id")
+        .sort_index()
+    )
+    knn = _q("knn_cosine_bruteforce")(spark, SF_MEDIUM).toPandas()
+    labels = (
+        tbl(spark, SF_MEDIUM, "embeddings")
+        .select("vec_id", "label")
+        .toPandas()
+        .set_index("vec_id")
+        .label
+    )
+    assert len(pred) == 5
+    for q_id, g in knn.groupby("q_id"):
+        votes = labels.loc[g.vec_id].value_counts()
+        top = votes[votes == votes.max()].index.min()  # smallest label wins ties
+        assert pred.loc[q_id, "predicted_label"] == top
+        assert pred.loc[q_id, "n_votes"] == votes.max()
