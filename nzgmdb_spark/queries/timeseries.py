@@ -216,75 +216,3 @@ def f13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.select("event_id", k.alias("prop_k")).filter(F.col("prop_k") >= 50)
 
-
-# --- Gap-based event sessionization: the canonical event-analytics
-# operator (reference operates per-event pipelines; public analytics
-# engines call this "sessionize"). A session breaks when a user is idle
-# > 30 min; session ids are the running count of breaks per user.
-#
-# 100 TB plan: ONE shuffle — the window and the session aggregation both
-# partition by user_id, so Catalyst reuses the exchange (the groupBy keys
-# are a superset prefix of the window partition). Gap arithmetic is exact
-# integer microseconds (unix_micros/epoch_us on both engines); the value
-# sum rides the exact-decimal dsum so session totals are
-# order-independent.
-
-SESSIONIZE_SQL = """
-WITH seq AS (
-  SELECT user_id, event_id, ts, value,
-         epoch_us(ts) AS us,
-         lag(epoch_us(ts)) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-  FROM events
-),
-marked AS (
-  SELECT *,
-         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-              THEN 1 ELSE 0 END AS is_new
-  FROM seq
-),
-sess AS (
-  SELECT *,
-         CAST(sum(is_new) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS session_id
-  FROM marked
-)
-SELECT user_id, session_id,
-       count(*) AS n_events,
-       min(ts) AS t_start,
-       max(ts) AS t_end,
-       max(us) - min(us) AS duration_us,
-       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
-FROM sess
-GROUP BY user_id, session_id
-"""
-
-
-@register("t_sessionize", sql=SESSIONIZE_SQL, survey=["W4", "A4", "F8"])
-def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
-    prev = F.lag(us).over(w)
-    is_new = F.when(
-        prev.isNull() | ((us - prev) > 1800 * 1_000_000), 1
-    ).otherwise(0)
-    sess = e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        us.alias("us"),
-        F.sum(is_new)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("session_id"),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min("ts").alias("t_start"),
-        F.max("ts").alias("t_end"),
-        (F.max("us") - F.min("us")).alias("duration_us"),
-        dsum("value", "total_value"),
-    )

@@ -139,6 +139,7 @@ def test_unimax_waterfilling_feasible_and_tight(spark):
 
 
 def test_sessionize_planted_sessions(spark, tmp_path):
+    # planted boundary pin for the existing w_sessionize_gaps operator —
     # user 1: events at +0, +10 min, +45 min -> the 35-min gap breaks the
     # session at the third event; user 2: one lonely event.
     base = pd.Timestamp("2024-01-01 00:00:00")
@@ -159,28 +160,14 @@ def test_sessionize_planted_sessions(spark, tmp_path):
     )
     ev.to_parquet(tmp_path / "events.parquet")
     out = (
-        _q("t_sessionize")(spark, str(tmp_path))
+        _q("w_sessionize_gaps")(spark, str(tmp_path))
         .toPandas()
-        .sort_values(["user_id", "session_id"])
+        .sort_values(["user_id", "session_idx"])
         .reset_index(drop=True)
     )
     assert list(out.user_id) == [1, 1, 2]
-    assert list(out.session_id) == [1, 2, 1]
+    assert list(out.session_idx) == [1, 2, 1]
     assert list(out.n_events) == [2, 1, 1]
-    assert list(out.total_value) == [3.0, 4.0, 8.0]
-    assert list(out.duration_us) == [600_000_000, 0, 0]
-
-
-def test_sessionize_partitions_all_events(spark):
-    from nzgmdb_spark.tables import tbl
-
-    out = _q("t_sessionize")(spark, SF_MEDIUM).toPandas()
-    n_events = tbl(spark, SF_MEDIUM, "events").count()
-    assert out.n_events.sum() == n_events
-    assert (out.duration_us >= 0).all()
-    # session ids are dense 1..k per user
-    for _, g in out.groupby("user_id"):
-        assert sorted(g.session_id) == list(range(1, len(g) + 1))
 
 
 def test_knn_label_vote_matches_neighbor_mode(spark):
