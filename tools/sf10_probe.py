@@ -128,27 +128,44 @@ def main() -> None:
         '|---|---|---|---|---|---|---|---|---|',
     ]
     import sys as _sys
+    import traceback as _tb
 
     _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gen_scaling import _decluster_row
 
+    side = os.path.join(REPO_ROOT, ".scale", "sf10_section.md")
+
+    def _checkpoint() -> None:
+        # the decluster rows below take ~an hour at 10M on a noisy host —
+        # persist everything measured so far after each phase so a late
+        # failure never loses the query table
+        with open(side, "w") as f:
+            f.write("\n".join(lines))
+
+    _checkpoint()
     for label, sf, n_exp, stretch in [
         ("1M @ 3000 d", "sf1", 1_000_000, 100.0),
         ("10M @ 30000 d", "sf10", 10_000_000, 1000.0),
     ]:
-        row = _decluster_row(
-            spark,
-            os.path.join(REPO_ROOT, ".scale", sf),
-            n_exp,
-            stretch=stretch,
-            gr_mags=True,
-        )
+        try:
+            row = _decluster_row(
+                spark,
+                os.path.join(REPO_ROOT, ".scale", sf),
+                n_exp,
+                stretch=stretch,
+                gr_mags=True,
+            )
+        except Exception:
+            print(f"  decluster {label} FAILED:", flush=True)
+            _tb.print_exc()
+            break
         lines.append(
             f"| {label} | {row['n']} | {row['pairs']} | {row['rounds']} | "
             f"{row['wall']:.1f} | {row['t_join']:.1f} | {row['t_crjb']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster {label}: {row}", flush=True)
+        _checkpoint()
     lines += [
         '',
         'The memory columns come from the Spark UI REST API',
@@ -162,7 +179,6 @@ def main() -> None:
         '',
     ]
     section = "\n".join(lines)
-    side = os.path.join(REPO_ROOT, ".scale", "sf10_section.md")
     with open(side, "w") as f:
         f.write(section)
     print(section)
