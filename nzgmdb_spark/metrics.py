@@ -52,6 +52,13 @@ class StageMemoryProbe:
 
     def __enter__(self):
         try:
+            if self._spark.sparkContext.uiWebUrl is None:
+                # UI disabled: degrade to an EMPTY result (falsy) so
+                # callers can tell "probe off" from "measured zero" —
+                # max(default=-1) here would silently report all-zero
+                # metrics and turn envelope assertions vacuous.
+                self._start_stage = None
+                return self
             stages = self._stages()
             self._start_stage = max((s["stageId"] for s in stages), default=-1)
         except Exception:  # pragma: no cover — UI off / API drift

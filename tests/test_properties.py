@@ -645,6 +645,11 @@ def test_memory_envelope_headline(spark, name):
     from nzgmdb_spark.queries import load_registry
 
     reg = load_registry()
+    # Warm run first: the envelope pins the STEADY-STATE path. Without it
+    # the measurement depends on test selection order — e.g. a standalone
+    # run of this test charges the one-time IVF/PQ index-build shuffle to
+    # the query, while a full-suite run (parity tests first) doesn't.
+    run_full(reg[name].fn(spark, "/root/testdata/sf0.1"))
     probe = StageMemoryProbe(spark)
     with probe:
         run_full(reg[name].fn(spark, "/root/testdata/sf0.1"))
