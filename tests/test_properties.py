@@ -597,18 +597,24 @@ def test_simhash_hamming_flood_is_linear(spark):
 # dedup_cluster_cc is not a headline query but stays pinned as the
 # registry's widest plan. SCALING.md's "Headline memory envelope" table
 # records the measured values this envelope is derived from.
+# Re-measured round 9 under the HONEST probe (UI on, local[4], 8 shuffle
+# partitions — tools/measure_envelopes.py, two consistent runs). Earlier
+# annotations came from a probe that silently read zero with the UI off;
+# the honest peaks are also quantized by Spark's 64 MiB execution-memory
+# page allocation, which is why several sit just above a 64 MiB multiple.
+# Ceilings ~2-2.5x measured.
 _MEM_CEILINGS_MIB = {
-    "ann_ivf_cosine": 32,           # measured 12 MiB
-    "dedup_cluster_cc": 768,        # measured 288 MiB
-    "dedup_minhash_lsh": 64,        # measured 24 MiB
-    "dedup_ngram_jaccard": 512,     # measured 192 MiB
+    "ann_ivf_cosine": 32,           # measured 4.0 MiB (honest probe, r9)
+    "dedup_cluster_cc": 768,        # measured 384 MiB
+    "dedup_minhash_lsh": 192,       # measured 80 MiB
+    "dedup_ngram_jaccard": 768,     # measured 320 MiB
     "k13_rupture_distances": 32,    # measured ~0 (zero-shuffle codegen)
     "m1_media_metadata_decode": 32, # measured ~0 (mapInPandas, no joins)
-    "q1_pricing_summary": 32,       # measured 9 MiB
-    "q3_shipping_priority": 64,     # measured 27 MiB
-    "q5_local_supplier_volume": 128,  # measured 53 MiB
-    "s14_partitioned_sink_resume": 48,  # measured 16 MiB
-    "t_daily_rollup": 32,           # measured 8 MiB
+    "q1_pricing_summary": 160,      # measured 65 MiB (one 64 MiB agg page)
+    "q3_shipping_priority": 192,    # measured 83 MiB
+    "q5_local_supplier_volume": 384,  # measured 165 MiB
+    "s14_partitioned_sink_resume": 320,  # measured 129 MiB
+    "t_daily_rollup": 160,          # measured 64 MiB
     "text_quality_score": 32,       # measured ~0 (map-only expressions)
 }
 
@@ -621,18 +627,22 @@ _MEM_CEILINGS_MIB = {
 # shuffling the corpus instead of candidates. Wall time barely moves at
 # sf0.1 when that happens; this envelope trips instead.
 _SHUFFLE_CEILINGS_KIB = {
-    "ann_ivf_cosine": 8,            # measured 1.0 KiB
-    "dedup_cluster_cc": 131_072,    # iterative fixpoint: edges per round
-    "dedup_minhash_lsh": 3_072,     # measured 742 KiB (band exchange)
-    "dedup_ngram_jaccard": 106_496, # measured 26.4 MiB (posting lists)
-    "k13_rupture_distances": 4,     # measured 65 B (zero-shuffle codegen)
-    "m1_media_metadata_decode": 4,  # measured 63 B
-    "q1_pricing_summary": 8,        # measured 1.3 KiB (partial-agg rows)
-    "q3_shipping_priority": 1_536,  # measured 305 KiB
-    "q5_local_supplier_volume": 8,  # measured 558 B — all dims broadcast
-    "s14_partitioned_sink_resume": 4,   # measured 260 B
-    "t_daily_rollup": 32,           # measured 7.4 KiB
-    "text_quality_score": 4,        # measured 64 B (map-only)
+    # ann_ivf_cosine moved from a window rank (1 KiB era) to grouped_topk,
+    # whose stage-1 partial top-k exchange carries |keys|x|partitions|x k
+    # struct rows BY DESIGN (operators/topk.py) — the intended scale-safe
+    # shape. Re-pinned to the measured 42.3 KiB with headroom.
+    "ann_ivf_cosine": 128,          # measured 42.3 KiB (grouped_topk r9)
+    "dedup_cluster_cc": 131_072,    # measured 23.3 MiB; fixpoint edges/round
+    "dedup_minhash_lsh": 3_072,     # measured 473 KiB (band exchange)
+    "dedup_ngram_jaccard": 106_496, # measured 23.2 MiB (posting lists)
+    "k13_rupture_distances": 4,     # measured ~0.1 KiB (zero-shuffle codegen)
+    "m1_media_metadata_decode": 4,  # measured ~0.1 KiB
+    "q1_pricing_summary": 8,        # measured 1.2 KiB (partial-agg rows)
+    "q3_shipping_priority": 1_536,  # measured 298 KiB
+    "q5_local_supplier_volume": 8,  # measured 0.5 KiB — all dims broadcast
+    "s14_partitioned_sink_resume": 4,   # measured 0.3 KiB
+    "t_daily_rollup": 32,           # measured 5.2 KiB
+    "text_quality_score": 4,        # measured 0.1 KiB (map-only)
 }
 
 
