@@ -31,8 +31,31 @@ the caller's responsibility (cosines here are never NaN).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def ranked_topk(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    k: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Global top-k by (score desc, id asc) with 1..k rank numbers.
+
+    The obvious plan — ``row_number() OVER (ORDER BY score DESC)`` then
+    ``rank <= k`` — funnels EVERY scored row through one task. This shape
+    instead lets ``orderBy().limit(k)`` compile to TakeOrderedAndProject
+    (per-partition bounded heap + driver merge of the k-heads), so no task
+    ever buffers more than its own partition; the row_number window that
+    assigns rank values then runs over <= k rows, which is a constant, not
+    the corpus. (score desc, id asc) is a total order when ids are unique,
+    so the result is bit-identical to the window form.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col)]
+    top = df.orderBy(*order).limit(k)
+    return top.withColumn(rank_name, F.row_number().over(Window.orderBy(*order)))
 
 
 def grouped_topk(

@@ -364,14 +364,16 @@ def text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.col("w1"), F.lit(0.0))
         + F.coalesce(F.col("w2"), F.lit(0.0))
     )
-    w = Window.orderBy(total.desc(), F.col("doc_id"))
-    return (
-        per_doc.select(
-            "doc_id",
-            pround(total, 6).alias("score"),
-            F.row_number().over(w).alias("rank"),
-        )
-        .filter(F.col("rank") <= 10)
+    # ranked_topk: TakeOrderedAndProject + a <=k-row rank window, never a
+    # hit-set-sized single-partition sort (hits of a common term are
+    # corpus-correlated).
+    from nzgmdb_spark.operators.topk import ranked_topk
+
+    top = ranked_topk(
+        per_doc.select("doc_id", total.alias("_score")), "_score", "doc_id", 10
+    )
+    return top.select(
+        "doc_id", pround(F.col("_score"), 6).alias("score"), "rank"
     )
 
 
@@ -814,10 +816,12 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.01 it puts all 25 target-slice docs in the top 50 where the raw
     # sum ranked them by length. The raw weight and the paper's
     # Gumbel-perturbed resampling key still ride along as outputs.
-    w = Window.orderBy(F.col("alr").desc(), "doc_id")
+    # Top-K via orderBy().limit(): TakeOrderedAndProject (per-partition
+    # bounded heap + driver merge), not a corpus-wide single-partition
+    # row_number window — same rows, (alr desc, doc_id) is a total order.
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _DSIR_K)
+        keyed.orderBy(F.col("alr").desc(), "doc_id")
+        .limit(_DSIR_K)
         .select(
             "doc_id",
             pround(F.col("lw").cast("double"), 6).alias("log_weight"),
@@ -956,15 +960,20 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, object]:
 
 @register("text_search_bm25", sql=BM25_SQL, survey=["O3", "A2", "F9"])
 def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nzgmdb_spark.operators.topk import ranked_topk
+
     per_doc, total = _bm25_per_doc(spark, sf_dir)
-    w = Window.orderBy(total.desc(), F.col("doc_id"))
-    return (
-        per_doc.select(
-            "doc_id",
-            pround(total, 6).alias("score"),
-            F.row_number().over(w).alias("rank"),
-        )
-        .filter(F.col("rank") <= _BM25_TOPK)
+    # Same TakeOrdered shape as text_search_topk: the hit set is posting-
+    # list-bounded but corpus-correlated for common terms — never worth a
+    # single-partition rank window.
+    top = ranked_topk(
+        per_doc.select("doc_id", total.alias("_score")),
+        "_score",
+        "doc_id",
+        _BM25_TOPK,
+    )
+    return top.select(
+        "doc_id", pround(F.col("_score"), 6).alias("score"), "rank"
     )
 
 
@@ -1040,15 +1049,16 @@ QUALIFY rank <= {_RRF_TOPK}
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nzgmdb_spark.queries.similarity import _wide, _wide_dot
 
+    from nzgmdb_spark.operators.topk import ranked_topk
+
     per_doc, total = _bm25_per_doc(spark, sf_dir)
-    wk = Window.orderBy(total.desc(), F.col("doc_id"))
-    krank = (
-        per_doc.select(
-            F.col("doc_id").alias("kid"),
-            F.row_number().over(wk).alias("rank_kw"),
-        )
-        .filter(F.col("rank_kw") <= _RRF_DEPTH)
-    )
+    krank = ranked_topk(
+        per_doc.select(F.col("doc_id").alias("kid"), total.alias("_ks")),
+        "_ks",
+        "kid",
+        _RRF_DEPTH,
+        rank_name="rank_kw",
+    ).select("kid", "rank_kw")
 
     e = _wide(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(
@@ -1062,23 +1072,27 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_wide_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
         )
     )
-    wv = Window.orderBy(F.col("cosine").desc(), F.col("id"))
-    vrank = dots.select("id", F.row_number().over(wv).alias("rank_vec")).filter(
-        F.col("rank_vec") <= _RRF_DEPTH
+    # vrank was the corpus-sized window (every embedding's cosine through
+    # one row_number task); ranked_topk bounds the rank window at DEPTH
+    # rows behind a TakeOrderedAndProject.
+    vrank = ranked_topk(dots, "cosine", "id", _RRF_DEPTH, rank_name="rank_vec").select(
+        "id", "rank_vec"
     )
 
     fused = krank.join(vrank, krank.kid == vrank.id, "full_outer")
     contrib = F.coalesce(
         F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_kw")), F.lit(0.0)
     ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_vec")), F.lit(0.0))
-    wr = Window.orderBy(contrib.desc(), F.coalesce(F.col("kid"), F.col("id")))
-    return (
-        fused.select(
-            F.coalesce("kid", "id").alias("doc_id"),
-            "rank_kw",
-            "rank_vec",
-            pround(contrib, 8).alias("rrf_score"),
-            F.row_number().over(wr).alias("rank"),
-        )
-        .filter(F.col("rank") <= _RRF_TOPK)
+    # fused is <= 2*DEPTH rows by construction; route the fusion rank
+    # through the same TakeOrdered shape anyway so no global window
+    # survives in the plan.
+    scored = fused.select(
+        F.coalesce("kid", "id").alias("doc_id"),
+        "rank_kw",
+        "rank_vec",
+        pround(contrib, 8).alias("rrf_score"),
+        contrib.alias("_rrf"),
+    )
+    return ranked_topk(scored, "_rrf", "doc_id", _RRF_TOPK).select(
+        "doc_id", "rank_kw", "rank_vec", "rrf_score", "rank"
     )

@@ -435,6 +435,30 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
         assert "TakeOrderedAndProject" in plan, f"{q} lost TakeOrdered"
 
 
+def test_retrieval_rank_windows_are_bounded(spark):
+    """The retrieval family's global top-k must plan through
+    TakeOrderedAndProject (ranked_topk / orderBy().limit), never a
+    corpus-sized single-partition row_number window (VERDICT r8 asks #2
+    and #3). A rank window may still appear in the plan, but only ABOVE a
+    GlobalLimit — i.e. over <= k already-selected rows."""
+    for q in (
+        "dsir_importance_select",
+        "text_search_topk",
+        "text_search_bm25",
+        "retrieval_hybrid_rrf",
+    ):
+        plan = plan_of(spark, q)
+        assert "TakeOrderedAndProject" in plan, f"{q} lost TakeOrdered"
+        # every Window in the plan must sit over a limited (<= k rows)
+        # input: with TakeOrdered producing the top-k, a window whose
+        # subtree lacks a TakeOrdered/GlobalLimit would be the corpus-
+        # sized sort this test exists to ban.
+        for frag in plan.split("Window")[1:]:
+            assert "TakeOrderedAndProject" in frag or "GlobalLimit" in frag, (
+                f"{q} has a rank window not fed by a limit:\n{frag[:400]}"
+            )
+
+
 def test_spread_width_tracks_input_size(spark):
     """operators/partitioning.spread sizes staging repartitions from the
     plan's Catalyst size estimate, floored at core count — replacing the
