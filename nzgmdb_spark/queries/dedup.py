@@ -349,10 +349,18 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return propagate_min_labels(edges, max_rounds=_CC_MAX_ROUNDS)
 
 
-def propagate_min_labels(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) -> DataFrame:
+def propagate_min_labels(
+    edges: DataFrame,
+    max_rounds: int = _CC_MAX_ROUNDS,
+    star_fallback: bool = True,
+) -> DataFrame:
     """Min-label propagation over a symmetric (src, dst) edge list →
-    (doc_id, cluster_id). Raises rather than returning silently-wrong
-    labels if the graph diameter exceeds ``max_rounds``."""
+    (doc_id, cluster_id). Propagation needs one round per unit of
+    component diameter; past ``max_rounds`` it escapes to the
+    diameter-independent large/small-star contraction
+    (``star_contract_labels``) rather than returning silently-wrong
+    labels. ``star_fallback=False`` restores the raise-on-divergence
+    contract for callers that want the hard stop."""
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -383,14 +391,101 @@ def propagate_min_labels(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) -> 
         prev_sum = cur_sum
     else:
         # A component with diameter > max_rounds would return
-        # silently-wrong labels — fail loudly instead (same contract as
-        # the decluster fixpoint, operators/decluster.py).
+        # silently-wrong labels. Escape to the star contraction, whose
+        # round count is logarithmic in component size, not linear in
+        # diameter — the long-chain case a 100 TB near-dup graph can hit.
+        if star_fallback:
+            return star_contract_labels(edges)
         raise RuntimeError(
             f"connected-components propagation did not converge in "
             f"{max_rounds} rounds (graph diameter too large); raise "
             "max_rounds or switch to large/small-star contraction"
         )
     return labels
+
+
+def star_contract_labels(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") over a symmetric (src, dst) edge list → (doc_id,
+    cluster_id = component-min doc_id).
+
+    Unlike min-label propagation — one round per unit of DIAMETER — the
+    alternation converges in O(log^2 n) rounds on any graph, so a single
+    million-node chain component finishes in ~tens of rounds instead of a
+    million. Each round is two grouped aggregations plus two equi-joins
+    on node id (all key-partitioned shuffles, nothing corpus-quadratic),
+    with lineage truncated per round via localCheckpoint exactly like the
+    propagation loop.
+
+    * large-star: for each node x with m = min(x, min Γ(x)), connect every
+      LARGER neighbor y > x directly to m. Each undirected edge is seen
+      from its smaller endpoint only, so the output edge count never
+      exceeds the input's.
+    * small-star: orient edges u→v with u > v; for each u with
+      m = min Γ⁻(u), connect every smaller neighbor and u itself to m.
+
+    At the fixpoint the edge set is a star forest: every non-root points
+    straight at its component minimum.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
+    prev = None
+    for _ in range(max_rounds):
+        # large-star over the symmetric view: (y, m(x)) for y > x.
+        sym = e.select("u", "v").union(e.select("v", "u")).toDF("x", "y")
+        mins = (
+            sym.groupBy("x")
+            .agg(F.min("y").alias("mn"))
+            .select("x", F.least("x", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "x")
+            .filter(F.col("y") > F.col("x"))
+            # y > x >= m, so (y, m) is already in u>v canonical form
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the u>v orientation: (v, m(u)) for each smaller
+        # neighbor plus (u, m(u)); m <= every v < u, canonical form holds.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", "m"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # bit_xor digest: order-insensitive set fingerprint with no ANSI
+        # overflow (summing 64-bit hashes would throw under ANSI mode).
+        cur = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        cur = (cur["n"], cur["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    # Converged edge set is a star forest (u → component min). Nodes that
+    # never appear as a larger endpoint are their component's root.
+    stars = e.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("root")
+    )
+    return all_nodes.join(stars, "doc_id", "left").select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+    )
 
 
 # --- MinHash + LSH: 8 hash functions (min over md5(k:shingle)), 4 bands of

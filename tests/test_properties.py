@@ -161,8 +161,9 @@ def test_cosine_neardup_lsh_recall(spark):
 
 def test_cc_propagation_raises_on_deep_chain(spark):
     # VERDICT r1 #8: a component whose diameter exceeds the round cap must
-    # raise, not return silently-wrong labels. A 20-node path needs 19
-    # propagation rounds for label 0 to reach the far end.
+    # never return silently-wrong labels. A 20-node path needs 19
+    # propagation rounds for label 0 to reach the far end; with the star
+    # fallback disabled that's a hard RuntimeError.
     from nzgmdb_spark.queries.dedup import propagate_min_labels
 
     pairs = [(i, i + 1) for i in range(19)]
@@ -170,10 +171,62 @@ def test_cc_propagation_raises_on_deep_chain(spark):
         pairs + [(b, a) for a, b in pairs], schema="src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        propagate_min_labels(edges, max_rounds=5)
+        propagate_min_labels(edges, max_rounds=5, star_fallback=False)
     # and with enough rounds the same chain collapses to one cluster
-    out = propagate_min_labels(edges, max_rounds=25)
+    out = propagate_min_labels(edges, max_rounds=25, star_fallback=False)
     assert {r.cluster_id for r in out.collect()} == {0}
+
+
+def test_cc_star_contraction_escape_hatch(spark):
+    """VERDICT r8 ask #5: a component with diameter > max_rounds must
+    CONVERGE via the large/small-star escape hatch, with labels equal to
+    what unbounded propagation would produce. A 60-node chain (diameter
+    59) through max_rounds=5 exercises exactly the fallback path — star
+    contraction's rounds are logarithmic in component size, not linear in
+    diameter."""
+    from nzgmdb_spark.queries.dedup import propagate_min_labels
+
+    pairs = [(i, i + 1) for i in range(59)] + [(100, 101), (200, 201), (201, 202)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], schema="src long, dst long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in propagate_min_labels(edges, max_rounds=5).collect()
+    }
+    want = {i: 0 for i in range(60)}
+    want.update({100: 100, 101: 100, 200: 200, 201: 200, 202: 200})
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_cc_star_equals_propagation_on_random_graphs(spark, pairs):
+    """star_contract_labels must agree with the min-label fixpoint on
+    arbitrary graphs — same (doc_id -> component-min) labeling."""
+    from nzgmdb_spark.queries.dedup import propagate_min_labels, star_contract_labels
+
+    sym = [(a, b) for a, b in pairs if a != b]
+    sym = sym + [(b, a) for a, b in sym]
+    if not sym:
+        return
+    edges = spark.createDataFrame(sym, schema="src long, dst long").localCheckpoint()
+    fix = {
+        r.doc_id: r.cluster_id
+        for r in propagate_min_labels(
+            edges, max_rounds=90, star_fallback=False
+        ).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id for r in star_contract_labels(edges).collect()
+    }
+    assert star == fix
 
 
 @given(
