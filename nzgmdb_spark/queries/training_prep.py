@@ -166,6 +166,22 @@ GROUP BY vec_id, proj_dim
 )
 def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings")
+    # zip_with against the fixed 64-sign array yields silent NULL products
+    # on any other embedding length — fail loudly on schema drift instead.
+    # (.filter(assert_true(..).isNull()) keeps the always-true predicate
+    # alive in the plan; a dropped column would be pruned by Catalyst.)
+    e = e.filter(
+        F.assert_true(
+            F.size("embedding") == _RP_IN_DIMS,
+            F.concat(
+                F.lit(
+                    f"similarity_random_projection: embedding dim != "
+                    f"{_RP_IN_DIMS} for vec_id "
+                ),
+                F.col("vec_id").cast("string"),
+            ),
+        ).isNull()
+    )
 
     def proj(j: int) -> Column:
         signs = F.array(*[F.lit(s) for s in _RP_SIGNS[j]])

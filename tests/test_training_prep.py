@@ -21,8 +21,11 @@ def test_quality_classifier_score_semantics(spark):
     out = _q("text_quality_classifier")(spark, SF_MEDIUM).toPandas()
     assert len(out) == 500
     assert ((out.quality_prob > 0.0) & (out.quality_prob < 1.0)).all()
-    # keep is exactly the sign of the pre-sigmoid score: prob >= 0.5
-    assert (out.keep == (out.quality_prob >= 0.5)).all()
+    # keep is the sign of the pre-sigmoid score. quality_prob is the
+    # 6-digit ROUNDED sigmoid, so a slightly-negative score can round up
+    # to exactly 0.5 — at the boundary either keep value is consistent.
+    boundary = out.quality_prob == 0.5
+    assert (out.keep == (out.quality_prob >= 0.5))[~boundary].all()
     assert (out.n_tokens >= 1).all()
 
 

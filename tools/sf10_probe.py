@@ -158,6 +158,9 @@ def main() -> None:
         except Exception:
             print(f"  decluster {label} FAILED:", flush=True)
             _tb.print_exc()
+            # record the truncation in the persisted section so the
+            # checkpoint file never presents a partial table as complete
+            lines.append(f"| {label} | FAILED — rows truncated | | | | | | | |")
             break
         lines.append(
             f"| {label} | {row['n']} | {row['pairs']} | {row['rounds']} | "
