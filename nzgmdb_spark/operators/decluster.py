@@ -133,6 +133,70 @@ def crjb_km_vec(
     return d
 
 
+def crjb_eligible_vec(
+    lats: np.ndarray,
+    lons: np.ndarray,
+    corners: tuple,
+    cutoff_km: float,
+    spacing_km: float = 1.0,
+) -> np.ndarray:
+    """Exact ``crjb_km_vec(...) <= cutoff_km`` verdicts, computed
+    coarse-to-fine. The decluster pair filter only needs the BOOLEAN, so
+    most points never pay the full (npoints × nboundary) matrix:
+
+    1. **Subset accept (exact)** — distance to every ``stride``-th
+       resampled boundary point. The subset's per-element ``a`` values are
+       bit-identical to the corresponding columns of the full matrix
+       (same formula, same inputs), so ``min_full <= min_subset`` holds in
+       floats and ``d_subset <= cutoff`` PROVES ``d_full <= cutoff``.
+    2. **Inside test (exact)** — ray cast; inside points have CRJB 0.
+    3. **Reject bound (slack-guarded)** — every full boundary point lies
+       within ~``stride/2`` resample steps of a subset point, so
+       ``d_full >= d_subset - cover``; points with ``d_subset - cover``
+       beyond the cutoff are provably ineligible. ``cover`` carries a
+       1.05× + absolute margin because the resample interpolates lat/lon
+       linearly, so consecutive-point arc lengths only approximate
+       ``spacing_km``; the margin only widens the gray band (correctness
+       never depends on it being tight).
+    4. **Full kernel on the gray ring only** — identical formula to
+       crjb_km_vec, so gray verdicts match the old path bit-for-bit.
+
+    Equality with ``crjb_km_vec(...) <= cutoff_km`` is pinned by a
+    randomized property test (tests/test_decluster.py)."""
+    bphi, blam, bcos = _boundary_rad(corners, spacing_km)
+    n_b = bphi.size
+    phi = np.radians(lats)[:, None]
+    lam = np.radians(lons)[:, None]
+
+    def _min_d(sel_phi, sel_lam, b_sel):
+        a = (
+            np.sin((bphi[None, b_sel] - sel_phi) / 2.0) ** 2
+            + np.cos(sel_phi)
+            * bcos[None, b_sel]
+            * np.sin((blam[None, b_sel] - sel_lam) / 2.0) ** 2
+        )
+        return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.min(a, axis=1)))
+
+    stride = max(1, n_b // 24)
+    if stride <= 2:
+        # tiny boundary: the subset would be most of the matrix anyway
+        elig = _min_d(phi, lam, slice(None)) <= cutoff_km
+        elig |= _points_in_polygon(lats, lons, corners)
+        return elig
+
+    d_sub = _min_d(phi, lam, slice(0, None, stride))
+    elig = d_sub <= cutoff_km  # exact accept: d_full <= d_sub
+    und = np.flatnonzero(~elig)
+    if und.size:
+        inside = _points_in_polygon(lats[und], lons[und], corners)
+        elig[und[inside]] = True
+        cover = (stride * 0.5 + 1.0) * spacing_km * 1.05 + 1e-6
+        gray = und[~inside & (d_sub[und] - cover <= cutoff_km)]
+        if gray.size:
+            elig[gray] = _min_d(phi[gray], lam[gray], slice(None)) <= cutoff_km
+    return elig
+
+
 def crjb_km(
     lat: float, lon: float, corners: list[tuple[float, float]], spacing_km: float = 1.0
 ) -> float:
@@ -427,27 +491,35 @@ def decluster_distributed(
     # resolve for function-local imports. Corners arrive as an Arrow ARRAY
     # column attached to the claimer side of each pair — no broadcast
     # Python dict; crjb_km's per-polygon boundary cache still applies.
-    def _crjb_batch(corners_k, lat_j, lon_j):
-        # Group the Arrow batch by claimer polygon and run the vectorized
-        # (npoints × nboundary) kernel once per polygon — pairs arrive
-        # hash-partitioned by k_evid, so a batch holds few distinct
-        # polygons with many centroids each (the vectorization sweet
-        # spot), and the per-polygon boundary resample is paid once.
-        # NULL corners mark pairs the SQL auto-accept bound already
-        # proved eligible (CRJB ≤ d_centroid + r_min ≤ cutoff): they
-        # skip the kernel AND the per-row polygon hashing, returning 0.0
-        # (any value ≤ cutoff serves — the exact distance is not output).
+    _cutoff = float(crjb_cutoff_km)
+
+    def _crjb_elig_batch(k_evid, corners_k, lat_j, lon_j):
+        # Group the Arrow batch by CLAIMER ID with one vectorized
+        # factorize + argsort — the previous shape hashed the nested
+        # corner array into a tuple PER ROW, and that per-row Python
+        # object churn (not the numpy kernel) dominated t_crjb (measured
+        # ~56 µs-core/pair at 1M events). Pairs arrive hash-partitioned
+        # by k_evid, so a batch holds few distinct claimers with many
+        # centroids each; each group converts its polygon once and runs
+        # the coarse-to-fine eligibility kernel. NULL corners mark pairs
+        # the SQL auto-accept bound already proved eligible: they skip
+        # grouping and kernel entirely.
         lats = lat_j.to_numpy(dtype=float)
         lons = lon_j.to_numpy(dtype=float)
-        out = np.zeros(lats.shape[0], dtype=float)
-        groups: dict[tuple, list[int]] = {}
-        for i, cs in enumerate(corners_k):
-            if cs is None:
-                continue
-            groups.setdefault(tuple(map(tuple, cs)), []).append(i)
-        for key, idx_list in groups.items():
-            idx = np.asarray(idx_list)
-            out[idx] = crjb_km_vec(lats[idx], lons[idx], key)
+        out = np.zeros(lats.shape[0], dtype=bool)
+        null_mask = corners_k.isna().to_numpy()
+        out[null_mask] = True
+        rest = np.flatnonzero(~null_mask)
+        if rest.size:
+            codes, _ = pd.factorize(k_evid.to_numpy()[rest])
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            ends = np.r_[starts[1:], sc.size]
+            for s, e0 in zip(starts, ends):
+                idx = rest[order[s:e0]]
+                key = tuple(map(tuple, corners_k.iloc[idx[0]]))
+                out[idx] = crjb_eligible_vec(lats[idx], lons[idx], key, _cutoff)
         return pd.Series(out)
 
     # asNondeterministic is the pushdown BARRIER: Catalyst never moves a
@@ -456,7 +528,7 @@ def decluster_distributed(
     # the (wide, corners-carrying) prefilter relation — at 1M events that
     # materialization would be tens of GB. (The UDF is in fact
     # deterministic; the flag is used purely as the plan fence.)
-    crjb_udf = pandas_udf(_crjb_batch, "double").asNondeterministic()
+    crjb_elig_udf = pandas_udf(_crjb_elig_batch, "boolean").asNondeterministic()
 
     from pyspark.sql import Window
 
@@ -785,7 +857,7 @@ def decluster_distributed(
     _mark("t_join")
     pairs = (
         prefiltered
-        .filter(crjb_udf("k_corners", "j_lat", "j_lon") <= F.lit(crjb_cutoff_km))
+        .filter(crjb_elig_udf("k_evid", "k_corners", "j_lat", "j_lon"))
         .select("k_prio", "k_evid", "j_prio", "j_evid", "k_mag", "j_mag")
         .localCheckpoint()
     )

@@ -465,3 +465,59 @@ def test_auto_accept_fires_and_stays_exact(spark):
         "auto-accept bound never fired on a 2 km-square clustered catalog"
     )
     assert stats["pairs_auto_accepted"] <= stats["pairs_prefilter"]
+
+
+def test_crjb_eligible_vec_exactly_matches_distance_kernel():
+    """crjb_eligible_vec's coarse-to-fine verdicts must equal
+    ``crjb_km_vec(...) <= cutoff`` EXACTLY — the accept path is float-exact
+    by construction (min over a superset), the reject path carries slack,
+    and the gray ring runs the identical full kernel. Randomized polygons
+    (squares, rectangles, irregular hexagons incl. a concave one) ×
+    point clouds spanning inside / boundary-ring / far regions."""
+    import random
+
+    import numpy as np
+
+    from nzgmdb_spark.operators.decluster import crjb_eligible_vec, crjb_km_vec
+
+    rng = random.Random(20260816)
+    KM = 111.195
+
+    def _poly(kind, lat0, lon0, scale_km):
+        h = scale_km / KM
+        if kind == "square":
+            return ((lat0 - h, lon0 - h), (lat0 - h, lon0 + h),
+                    (lat0 + h, lon0 + h), (lat0 + h, lon0 - h))
+        if kind == "rect":
+            return ((lat0 - h, lon0 - 3 * h), (lat0 - h, lon0 + 3 * h),
+                    (lat0 + h, lon0 + 3 * h), (lat0 + h, lon0 - 3 * h))
+        # irregular hexagon with one concave vertex (dent toward centroid)
+        pts = []
+        for i in range(6):
+            ang = 2 * math.pi * i / 6 + 0.2
+            r = h * (0.3 if i == 2 else rng.uniform(0.7, 1.3))
+            pts.append((lat0 + r * math.sin(ang), lon0 + r * math.cos(ang)))
+        return tuple(pts)
+
+    for kind in ("square", "rect", "hex"):
+        for scale_km in (2.0, 15.0, 40.0):
+            lat0 = rng.uniform(-45.0, 45.0)
+            lon0 = rng.uniform(-170.0, 170.0)
+            corners = _poly(kind, lat0, lon0, scale_km)
+            # point cloud: dense near the cutoff ring, plus inside + far
+            n = 400
+            lats = np.array(
+                [lat0 + rng.uniform(-1.0, 1.0) * (scale_km + 25.0) / KM
+                 for _ in range(n)]
+            )
+            lons = np.array(
+                [lon0 + rng.uniform(-1.0, 1.0) * (scale_km + 25.0) / KM
+                 for _ in range(n)]
+            )
+            for cutoff in (5.0, 10.0):
+                want = crjb_km_vec(lats, lons, corners) <= cutoff
+                got = crjb_eligible_vec(lats, lons, corners, cutoff)
+                assert (got == want).all(), (
+                    f"{kind} scale={scale_km} cutoff={cutoff}: "
+                    f"{int((got != want).sum())}/{n} verdicts differ"
+                )
