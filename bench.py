@@ -25,6 +25,10 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        load_at_start = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load_at_start = None
 
     from nzgmdb_spark.queries import load_registry
     from nzgmdb_spark.session import get_spark
@@ -100,6 +104,16 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host conditions ride with the artifact: this box has CPU steal and
+    # 2-4x wall swings (SCALING.md), so a bench number is only
+    # interpretable next to the load it was taken under (VERDICT r8
+    # evidence-hygiene ask).
+    try:
+        load1, load5, load15 = os.getloadavg()
+        host_load = {"load1": round(load1, 2), "load5": round(load5, 2),
+                     "load15": round(load15, 2), "ncpu": os.cpu_count()}
+    except OSError:
+        host_load = None
     result = {
         "metric": "headline query wall time, full evaluation w/ checksum (median of %d warm runs), local[%s]" % (n_runs, cpus),
         "method_note": (
@@ -114,6 +128,8 @@ def main() -> None:
         "value_count_only_legacy": round(sum(timings_count_only.values()), 4),
         "queries_count_only_legacy": timings_count_only,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host_load": {"at_start_1m_5m_15m": load_at_start,
+                      "at_exit": host_load},
     }
     print(json.dumps(result))
     spark.stop()

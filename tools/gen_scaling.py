@@ -160,8 +160,20 @@ def main() -> None:
             results.setdefault(name, {})[sf] = (statistics.median(times), rows)
             print(f"  {sf} {name}: {statistics.median(times):.2f}s ({rows} rows)")
     sf_names = list(sfs)
+    try:
+        _l1, _l5, _l15 = os.getloadavg()
+        _load_note = (
+            f"Host load at measurement end (1m/5m/15m): {_l1:.1f}/{_l5:.1f}/"
+            f"{_l15:.1f} on {os.cpu_count()} CPUs — this box has CPU steal "
+            "and 2-4× wall swings, so absolute walls are only comparable "
+            "within one session; same-session ratios are the scale signal."
+        )
+    except OSError:
+        _load_note = ""
     lines = [
         "# SCALING — headline queries across scale factors",
+        "",
+        _load_note,
         "",
         "Median of 3 warm runs, local[32], timing the HONEST action (count + full-width xxhash64 checksum via nzgmdb_spark.metrics.run_full — the same method bench.py's primary value uses; .collect() would time driver transfer for wide outputs and bare .count() lets Catalyst prune the measured expressions). Regenerate: "
         "`PYTHONPATH=. python tools/gen_scaling.py` "

@@ -85,12 +85,17 @@ def main() -> None:
             # the number the scaling claim rests on.
             out.setdefault(name, {})[sf] = (min(ts), rows)
             print(f"  {sf} {name}: {out[name][sf]}", flush=True)
+    try:
+        _load = "%.1f/%.1f/%.1f" % os.getloadavg()
+    except OSError:
+        _load = "n/a"
     lines = [
         "",
         "## sf10 probe (60M lineitem / 500k documents / 10M events / 200k embeddings)",
         "",
         "One further 10× point (2.4 GB warehouse, `tools/gen_testdata.py 100 .scale/sf10`,",
-        "measured by `tools/sf10_probe.py`, minimum of 4 warm runs (noise floor on a shared host)):",
+        "measured by `tools/sf10_probe.py`, minimum of 4 warm runs (noise floor on a shared host);",
+        f"host load 1m/5m/15m at probe end: {_load} on {os.cpu_count()} CPUs):",
         "",
         "| query | sf1 s (rows) | sf10 s (rows) | sf1→sf10 | sf10 peak exec mem | sf10 spilled |",
         "|---|---|---|---|---|---|",
