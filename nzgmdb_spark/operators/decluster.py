@@ -441,7 +441,13 @@ def decluster_distributed(
     def _mark(key: str) -> None:
         # Phase wall-clock attribution: each phase ends at an eager
         # localCheckpoint, so monotonic deltas here are real work, not
-        # lazy-plan bookkeeping. Keys: t_pairs / t_phase_a / t_b2.
+        # lazy-plan bookkeeping. Keys: t_prep (driver-side band/cell
+        # statistics collects), t_pairs (the ONE fused candidate-join +
+        # CRJB-filter materialization), t_phase_a, t_b2. Earlier rounds
+        # also ran a stats-only aggregation over the prefiltered join —
+        # a full extra join pass that production never paid (713 s of
+        # the 2908 s 10M wall); pair-volume stats now ride on
+        # accumulators inside the one real pass instead.
         nonlocal _t0
         if stats is not None:
             now = _time.monotonic()
@@ -492,6 +498,17 @@ def decluster_distributed(
     # column attached to the claimer side of each pair — no broadcast
     # Python dict; crjb_km's per-polygon boundary cache still applies.
     _cutoff = float(crjb_cutoff_km)
+    # Pair-volume + in-UDF busy-time stats ride on ACCUMULATORS inside the
+    # one real pair pass (stats mode only): exact on a clean run (local
+    # mode does not re-attempt successful tasks; a retried task would
+    # double-count, which is acceptable for observability counters —
+    # pairs_eligible below stays an exact count either way).
+    if stats is not None:
+        _acc_rows = spark.sparkContext.accumulator(0)
+        _acc_auto = spark.sparkContext.accumulator(0)
+        _acc_busy = spark.sparkContext.accumulator(0.0)
+    else:
+        _acc_rows = _acc_auto = _acc_busy = None
 
     def _crjb_elig_batch(k_evid, corners_k, lat_j, lon_j):
         # Group the Arrow batch by CLAIMER ID with one vectorized
@@ -504,6 +521,7 @@ def decluster_distributed(
         # the coarse-to-fine eligibility kernel. NULL corners mark pairs
         # the SQL auto-accept bound already proved eligible: they skip
         # grouping and kernel entirely.
+        _t0 = _time.perf_counter()
         lats = lat_j.to_numpy(dtype=float)
         lons = lon_j.to_numpy(dtype=float)
         out = np.zeros(lats.shape[0], dtype=bool)
@@ -520,6 +538,10 @@ def decluster_distributed(
                 idx = rest[order[s:e0]]
                 key = tuple(map(tuple, corners_k.iloc[idx[0]]))
                 out[idx] = crjb_eligible_vec(lats[idx], lons[idx], key, _cutoff)
+        if _acc_busy is not None:
+            _acc_rows.add(int(lats.shape[0]))
+            _acc_auto.add(int(null_mask.sum()))
+            _acc_busy.add(_time.perf_counter() - _t0)
         return pd.Series(out)
 
     # asNondeterministic is the pushdown BARRIER: Catalyst never moves a
@@ -829,32 +851,19 @@ def decluster_distributed(
         .drop("_hav")
         # Hash-partition the survivors by claimer BEFORE the UDF: (a)
         # parallelism — the join output otherwise inherits its left
-        # side's width; (b) polygon locality — each Arrow batch then
-        # holds few distinct claimer polygons with many centroids each,
-        # which is what makes the grouped crjb_km_vec kernel and the
-        # per-polygon boundary cache effective. Skew is bounded by the
-        # hottest single claimer's pair count.
+        # side's width; (b) polygon locality. Then SORT within each
+        # partition by claimer: shuffle arrival order interleaves a
+        # claimer's rows across every Arrow batch of its partition, so
+        # without the sort each batch re-converts and re-resamples the
+        # same polygons (at 10M events a partition holds ~60k distinct
+        # claimers — far past the boundary cache); sorted, each claimer
+        # is contiguous, touched by at most two batches, and its polygon
+        # work is paid once regardless of catalog scale. Skew is bounded
+        # by the hottest single claimer's pair count.
         .repartition(4 * ncores, F.col("k_evid"))
+        .sortWithinPartitions("k_evid")
     )
-    if stats is not None:
-        # pair-volume accounting (verdict r4 ask #1): how many candidate
-        # pairs survived the equi-join + haversine prefilter (= rows the
-        # exact CRJB UDF must score). Costs one extra pass of the join
-        # (stats callers are scaling/observability runs, not the hot
-        # path — pass stats=None to skip it).
-        # Count the auto flag, NOT isNull(k_corners): the flag keeps this
-        # stats-only pass prunable — reading k_corners here would force
-        # the (wide) corner arrays through the whole join just to count
-        # (measured +3.6x on the 10M catalog's t_join before the fix).
-        pf = prefiltered.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("_auto").cast("bigint")).alias("auto"),
-        ).first()
-        stats["pairs_prefilter"] = pf.n
-        # pairs proved eligible by the d + r_min ≤ cutoff bound (never
-        # reach the exact kernel)
-        stats["pairs_auto_accepted"] = int(pf.auto or 0)
-    _mark("t_join")
+    _mark("t_prep")
     pairs = (
         prefiltered
         .filter(crjb_elig_udf("k_evid", "k_corners", "j_lat", "j_lon"))
@@ -864,7 +873,17 @@ def decluster_distributed(
     n_pairs = pairs.count()  # cheap: pairs is checkpointed and narrow
     if stats is not None:
         stats["pairs_eligible"] = n_pairs
-    _mark("t_crjb")
+        # pair-volume accounting (verdict r4 ask #1), from the in-pass
+        # accumulators: candidate pairs that survived the equi-join +
+        # haversine prefilter (= rows the eligibility UDF scored), how
+        # many the d + r_min ≤ cutoff bound auto-accepted kernel-free,
+        # and the UDF's total in-Python busy time (core-seconds summed
+        # across workers — divide by parallelism for the wall-equivalent
+        # share of t_pairs that is CRJB compute rather than join).
+        stats["pairs_prefilter"] = _acc_rows.value
+        stats["pairs_auto_accepted"] = _acc_auto.value
+        stats["crjb_udf_core_s"] = round(_acc_busy.value, 3)
+    _mark("t_pairs")
     if prune_edges is None:
         # Per-round edge pruning pays for itself (two semi-joins + a
         # checkpoint per round) only when the edge set is large enough

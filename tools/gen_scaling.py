@@ -105,13 +105,18 @@ def _decluster_row(
         "pairs": stats.get("pairs_eligible"),
         "wall": wall,
         # Per-phase wall attribution (operators/decluster.py stats dict):
-        # t_join = banded spatial-cell candidate equi-join, t_crjb = the
-        # vectorized CRJB distance filter, t_phase_a = the claim fixpoint
-        # rounds, t_b2 = the cluster-merge pass. Persisted so "which
-        # phase blew up" is answerable from the artifact (VERDICT r5
-        # ask #6).
-        "t_join": stats.get("t_join"),
-        "t_crjb": stats.get("t_crjb"),
+        # t_prep = driver-side band/cell statistics collects, t_pairs =
+        # the ONE fused candidate-join + CRJB-filter materialization
+        # (earlier rounds ran a second stats-only join pass that inflated
+        # both the wall and the "crjb" column), crjb_udf_core_s = total
+        # in-UDF CRJB busy time summed across workers (divide by 32 for
+        # the wall-equivalent slice of t_pairs that is CRJB compute
+        # rather than join), t_phase_a = the claim fixpoint rounds,
+        # t_b2 = the cluster-merge pass. Persisted so "which phase blew
+        # up" is answerable from the artifact (VERDICT r5 ask #6).
+        "t_prep": stats.get("t_prep"),
+        "t_pairs": stats.get("t_pairs"),
+        "crjb_udf_core_s": stats.get("crjb_udf_core_s"),
         "t_phase_a": stats.get("t_phase_a"),
         "t_b2": stats.get("t_b2"),
     }
@@ -303,7 +308,7 @@ def main() -> None:
     lines.append("")
     lines.append(
         "| catalog | events | span | eligible pairs | aftershocks | "
-        "fixpoint rounds | wall s | pair-join s | crjb s | fixpoint s | merge s |"
+        "fixpoint rounds | wall s | pairs-pass s | crjb-udf core-s | fixpoint s | merge s |"
     )
     lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
     dc_points = [
@@ -317,7 +322,7 @@ def main() -> None:
         lines.append(
             f"| {label} | {row['n']} | {int(30 * stretch)} d | {row['pairs']} | "
             f"{row['aftershocks']} | {row['rounds']} | {row['wall']:.1f} | "
-            f"{row['t_join']:.1f} | {row['t_crjb']:.1f} | "
+            f"{row['t_pairs']:.1f} | {row['crjb_udf_core_s']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster density-constant {label}: {row}")
@@ -332,7 +337,7 @@ def main() -> None:
     lines.append("")
     lines.append(
         "| catalog | events | eligible pairs | aftershocks | "
-        "fixpoint rounds | wall s | wall/Mpair s | pair-join s | crjb s | "
+        "fixpoint rounds | wall s | wall/Mpair s | pairs-pass s | crjb-udf core-s | "
         "fixpoint s | merge s |"
     )
     lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
@@ -345,7 +350,7 @@ def main() -> None:
         lines.append(
             f"| {label} | {row['n']} | {row['pairs']} | {row['aftershocks']} | "
             f"{row['rounds']} | {row['wall']:.1f} | {per_mpair:.1f} | "
-            f"{row['t_join']:.1f} | {row['t_crjb']:.1f} | "
+            f"{row['t_pairs']:.1f} | {row['crjb_udf_core_s']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster density-stress {label}: {row}")

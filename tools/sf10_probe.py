@@ -129,7 +129,7 @@ def main() -> None:
         'magnitudes, span stretched to 30,000 days so the event rate matches',
         'the 10k/30d baseline — how a real century-scale catalog grows):',
         '',
-        '| catalog | events | eligible pairs | fixpoint rounds | wall s | pair-join s | crjb s | fixpoint s | merge s |',
+        '| catalog | events | eligible pairs | fixpoint rounds | wall s | pairs-pass s | crjb-udf core-s | fixpoint s | merge s |',
         '|---|---|---|---|---|---|---|---|---|',
     ]
     import sys as _sys
@@ -169,7 +169,7 @@ def main() -> None:
             break
         lines.append(
             f"| {label} | {row['n']} | {row['pairs']} | {row['rounds']} | "
-            f"{row['wall']:.1f} | {row['t_join']:.1f} | {row['t_crjb']:.1f} | "
+            f"{row['wall']:.1f} | {row['t_pairs']:.1f} | {row['crjb_udf_core_s']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster {label}: {row}", flush=True)
