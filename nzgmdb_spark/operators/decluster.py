@@ -82,13 +82,27 @@ import functools
 
 @functools.lru_cache(maxsize=4096)
 def _boundary_rad(corners_t: tuple, spacing_km: float):
-    """Resampled boundary as numpy radian arrays (phi, lam, cos_phi), cached
-    per polygon — the resample + trig dominates CRJB cost when the same
-    rupture polygon is probed against many centroids."""
+    """Resampled boundary as numpy radian arrays (phi, lam, cos_phi) plus
+    the MEASURED max consecutive-point step distance in km (including the
+    ring-closing wrap), cached per polygon — the resample + trig dominates
+    CRJB cost when the same rupture polygon is probed against many
+    centroids. The measured step makes crjb_eligible_vec's reject-bound
+    cover provably safe for ANY polygon (the resample interpolates lat/lon
+    linearly, so per-step arc length only approximates spacing_km; a fixed
+    1.05 fudge factor is unsound for very long segments at high latitude)."""
     b = np.asarray(resample_polygon_km(list(corners_t), spacing_km))
     phi = np.radians(b[:, 0])
     lam = np.radians(b[:, 1])
-    return phi, lam, np.cos(phi)
+    cphi = np.cos(phi)
+    # consecutive-step haversines, wrap included (last point -> first)
+    p2, l2 = np.roll(phi, -1), np.roll(lam, -1)
+    a = np.sin((p2 - phi) / 2.0) ** 2 + cphi * np.cos(p2) * np.sin(
+        (l2 - lam) / 2.0
+    ) ** 2
+    max_step_km = float(
+        2.0 * EARTH_RADIUS_KM * np.max(np.arcsin(np.sqrt(np.minimum(a, 1.0))))
+    ) if a.size else 0.0
+    return phi, lam, cphi, max_step_km
 
 
 def _points_in_polygon(lats: np.ndarray, lons: np.ndarray, corners) -> np.ndarray:
@@ -120,15 +134,19 @@ def crjb_km_vec(
     aftershocks.py:178-219). One (npoints × nboundary) broadcasted
     haversine — this is the batch kernel both decluster paths share, so
     sequential and distributed distances are bit-identical by
-    construction (crjb_km delegates here with a 1-point array)."""
-    bphi, blam, bcos = _boundary_rad(corners, spacing_km)
+    construction (crjb_km delegates here with a 1-point array). ``a`` is
+    clipped to [0, 1] so near-antipodal float overshoot can never turn
+    the whole min into NaN — this also makes the min-then-arcsin order
+    here and arcsin-of-min in crjb_eligible_vec unconditionally
+    equivalent (arcsin∘sqrt is monotone on [0, 1])."""
+    bphi, blam, bcos, _ = _boundary_rad(corners, spacing_km)
     phi = np.radians(lats)[:, None]
     lam = np.radians(lons)[:, None]
     a = (
         np.sin((bphi[None, :] - phi) / 2.0) ** 2
         + np.cos(phi) * bcos[None, :] * np.sin((blam[None, :] - lam) / 2.0) ** 2
     )
-    d = 2.0 * EARTH_RADIUS_KM * np.min(np.arcsin(np.sqrt(a)), axis=1)
+    d = 2.0 * EARTH_RADIUS_KM * np.min(np.arcsin(np.sqrt(np.minimum(a, 1.0))), axis=1)
     d[_points_in_polygon(lats, lons, corners)] = 0.0
     return d
 
@@ -150,20 +168,22 @@ def crjb_eligible_vec(
        (same formula, same inputs), so ``min_full <= min_subset`` holds in
        floats and ``d_subset <= cutoff`` PROVES ``d_full <= cutoff``.
     2. **Inside test (exact)** — ray cast; inside points have CRJB 0.
-    3. **Reject bound (slack-guarded)** — every full boundary point lies
-       within ~``stride/2`` resample steps of a subset point, so
-       ``d_full >= d_subset - cover``; points with ``d_subset - cover``
-       beyond the cutoff are provably ineligible. ``cover`` carries a
-       1.05× + absolute margin because the resample interpolates lat/lon
-       linearly, so consecutive-point arc lengths only approximate
-       ``spacing_km``; the margin only widens the gray band (correctness
-       never depends on it being tight).
+    3. **Reject bound (provable)** — every full boundary point lies
+       within ``ceil(stride/2)`` resample steps of a subset point, and
+       each step's arc length is at most the polygon's MEASURED max
+       consecutive-point haversine (computed once in the cached
+       _boundary_rad, ring wrap included), so by the triangle inequality
+       ``d_full >= d_subset - cover`` with
+       ``cover = (stride/2 + 1) * max_step``; points with
+       ``d_subset - cover`` beyond the cutoff are provably ineligible
+       for ANY polygon, with no heuristic fudge factor.
     4. **Full kernel on the gray ring only** — identical formula to
-       crjb_km_vec, so gray verdicts match the old path bit-for-bit.
+       crjb_km_vec (both clip ``a`` to [0, 1] before arcsin, so the
+       subset/min ordering difference is unconditionally equivalent).
 
     Equality with ``crjb_km_vec(...) <= cutoff_km`` is pinned by a
     randomized property test (tests/test_decluster.py)."""
-    bphi, blam, bcos = _boundary_rad(corners, spacing_km)
+    bphi, blam, bcos, max_step_km = _boundary_rad(corners, spacing_km)
     n_b = bphi.size
     phi = np.radians(lats)[:, None]
     lam = np.radians(lons)[:, None]
@@ -175,7 +195,9 @@ def crjb_eligible_vec(
             * bcos[None, b_sel]
             * np.sin((blam[None, b_sel] - sel_lam) / 2.0) ** 2
         )
-        return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.min(a, axis=1)))
+        return 2.0 * EARTH_RADIUS_KM * np.arcsin(
+            np.sqrt(np.minimum(np.min(a, axis=1), 1.0))
+        )
 
     stride = max(1, n_b // 24)
     if stride <= 2:
@@ -190,7 +212,7 @@ def crjb_eligible_vec(
     if und.size:
         inside = _points_in_polygon(lats[und], lons[und], corners)
         elig[und[inside]] = True
-        cover = (stride * 0.5 + 1.0) * spacing_km * 1.05 + 1e-6
+        cover = (stride * 0.5 + 1.0) * max_step_km + 1e-6
         gray = und[~inside & (d_sub[und] - cover <= cutoff_km)]
         if gray.size:
             elig[gray] = _min_d(phi[gray], lam[gray], slice(None)) <= cutoff_km
@@ -228,6 +250,7 @@ def _mag_bands(
     hi: float | None,
     width: float = 0.5,
     t_span_s: float | None = None,
+    merge_factor: float | None = None,
 ) -> list[tuple[int, int, float]]:
     """Magnitude bands for the banded eligibility join: (raw_band,
     merged_band, band_window_seconds) where raw_band = floor(mag / width)
@@ -237,13 +260,24 @@ def _mag_bands(
     is the max of the sub-6.5 branch evaluated at min(b, 6.5) and the
     ≥6.5 branch at b.
 
+    With ``merge_factor`` set, consecutive raw bands whose windows stay
+    within that factor of the group's FIRST window are merged into one
+    band: claimers take the group's max window as their bucket width
+    (time-bucket slop grows by at most the factor — only join
+    comparisons, never the pair set, since the exact time window is a
+    residual condition), while targets replicate once per GROUP instead
+    of once per raw band. With 0.5-wide bands the sub-6.5 window ratio
+    is 10^0.27 ≈ 1.86 per band, so factor 2 pairs up the small-magnitude
+    bands and collapses the near-flat ≥6.5 branch into a single group —
+    roughly a 3× cut in target-side exchange rows on a Gutenberg-Richter
+    catalog.
+
     Bands whose window meets or exceeds the catalog's time span are
-    MERGED into one band (their bucket key would be degenerate anyway —
-    the whole catalog fits in ~one bucket), so targets explode into at
-    most (#sub-span bands + 1) band copies instead of one per raw band.
-    On a short dense catalog this collapses to a single band — the
-    pre-banding behavior — while a multi-decade catalog keeps day-scale
-    buckets for the small-magnitude majority."""
+    further MERGED into one band (their bucket key would be degenerate
+    anyway — the whole catalog fits in ~one bucket). On a short dense
+    catalog this collapses to a single band — the pre-banding behavior —
+    while a multi-decade catalog keeps day-scale buckets for the
+    small-magnitude majority."""
     if lo is None or hi is None:
         return [(0, 0, 86400.0)]
     raw: list[tuple[int, float]] = []
@@ -255,16 +289,27 @@ def _mag_bands(
         if c > 6.5:
             cands.append(10 ** (0.032 * c + 2.7389))
         raw.append((b, max(max(cands) * 86400.0, 1.0)))
+    groups: list[list[tuple[int, float]]] = []
+    for b, w in raw:
+        if (
+            groups
+            and merge_factor is not None
+            and w <= groups[-1][0][1] * merge_factor
+        ):
+            groups[-1].append((b, w))
+        else:
+            groups.append([(b, w)])
+    rows = [(b, g[0][0], max(w for _, w in g)) for g in groups for b, _ in g]
     if t_span_s is None:
-        return [(b, b, w) for b, w in raw]
-    keep = [(b, w) for b, w in raw if w < t_span_s]
-    merged = [(b, w) for b, w in raw if w >= t_span_s]
-    rows = [(b, b, w) for b, w in keep]
+        return rows
+    keep = [(b, tb, w) for b, tb, w in rows if w < t_span_s]
+    merged = [(b, tb, w) for b, tb, w in rows if w >= t_span_s]
+    out = keep
     if merged:
-        tb = merged[0][0]
-        wmax = max(w for _, w in merged)
-        rows += [(b, tb, wmax) for b, _ in merged]
-    return rows
+        tb0 = merged[0][1]
+        wmax = max(w for _, _, w in merged)
+        out = keep + [(b, tb0, wmax) for b, _, _ in merged]
+    return out
 
 
 def decluster_catalog(
@@ -401,11 +446,14 @@ def decluster_distributed(
 
     1. **Eligibility pairs** — one TIME-BUCKETED EQUI-join builds every
        (claimer k, target j) with ``mag_j ≤ mag_k``, ``0 ≤ t_j − t_k ≤
-       W(mag_k)`` and CRJB ≤ cutoff: claimers explode into their own and
-       the next ``floor(t / max_window)`` bucket, targets join on bucket
+       W(mag_k)`` and CRJB ≤ cutoff: claimers explode into the band
+       buckets their own window touches, targets join on bucket
        equality, and the mag/time/distance conditions are residual
-       filters (CRJB via an Arrow-batched pandas UDF over the corners
-       column). Candidates scale with co-windowed pair density, never
+       filters. The surviving pair stream is NARROW (int prios, mags,
+       target centroid) — each claimer's rupture polygon is delivered
+       once, as a tagged row sorted ahead of its pair rows, and the
+       exact CRJB eligibility runs in an Arrow-batched mapInPandas
+       stage. Candidates scale with co-windowed pair density, never
        catalog².
     2. **Mainshock fixpoint** — whether an event was unclaimed when its
        turn came depends only on STRICTLY earlier-priority events
@@ -434,7 +482,6 @@ def decluster_distributed(
     import time as _time
 
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     _t0 = _time.monotonic()
 
@@ -455,18 +502,19 @@ def decluster_distributed(
             _t0 = now
 
     spark = events_df.sparkSession
-    # Corners as a RELATION, never a driver loop: a dict argument (legacy
-    # callers, bounded fixtures) is converted once; otherwise the polygons
-    # come from events_df's own `corners` column (array of [lat, lon]
-    # pairs, e.g. square_corners_col) — at 100× catalog scale nothing
-    # serializes through the driver.
+    # Corners as a COLUMN on the event relation, never a driver loop: a
+    # dict argument (legacy callers, bounded fixtures) is converted once
+    # and joined on; otherwise the polygons come from events_df's own
+    # `corners` column (array of [lat, lon] pairs, e.g.
+    # square_corners_col) — at 100× catalog scale nothing serializes
+    # through the driver.
     if corners_by_evid is None:
         if "corners" not in events_df.columns:
             raise KeyError(
                 "decluster_distributed needs either a corners_by_evid dict "
                 "or a `corners` column on events_df"
             )
-        corners_df = events_df.select("evid", "corners")
+        ev_src = events_df
     else:
         corners_df = spark.createDataFrame(
             [
@@ -491,18 +539,15 @@ def decluster_distributed(
             raise KeyError(
                 f"corners_by_evid missing rupture polygons for evids {sorted(missing)}"
             )
+        ev_src = events_df.drop("corners").join(corners_df, "evid")
 
-    # NOTE: annotation-free signature — `from __future__ import annotations`
-    # turns hints into strings that pandas_udf's type-hint inference cannot
-    # resolve for function-local imports. Corners arrive as an Arrow ARRAY
-    # column attached to the claimer side of each pair — no broadcast
-    # Python dict; crjb_km's per-polygon boundary cache still applies.
     _cutoff = float(crjb_cutoff_km)
-    # Pair-volume + in-UDF busy-time stats ride on ACCUMULATORS inside the
-    # one real pair pass (stats mode only): exact on a clean run (local
-    # mode does not re-attempt successful tasks; a retried task would
-    # double-count, which is acceptable for observability counters —
-    # pairs_eligible below stays an exact count either way).
+    # Pair-volume + in-Python busy-time stats ride on ACCUMULATORS inside
+    # the one real pair pass (stats mode only): exact on a clean run
+    # (local mode does not re-attempt successful tasks). On any
+    # deployment with task retries or speculative execution these
+    # counters can DOUBLE-COUNT — treat them as approximate observability
+    # there; pairs_eligible below stays an exact count either way.
     if stats is not None:
         _acc_rows = spark.sparkContext.accumulator(0)
         _acc_auto = spark.sparkContext.accumulator(0)
@@ -510,68 +555,141 @@ def decluster_distributed(
     else:
         _acc_rows = _acc_auto = _acc_busy = None
 
-    def _crjb_elig_batch(k_evid, corners_k, lat_j, lon_j):
-        # Group the Arrow batch by CLAIMER ID with one vectorized
-        # factorize + argsort — the previous shape hashed the nested
-        # corner array into a tuple PER ROW, and that per-row Python
-        # object churn (not the numpy kernel) dominated t_crjb (measured
-        # ~56 µs-core/pair at 1M events). Pairs arrive hash-partitioned
-        # by k_evid, so a batch holds few distinct claimers with many
-        # centroids each; each group converts its polygon once and runs
-        # the coarse-to-fine eligibility kernel. NULL corners mark pairs
-        # the SQL auto-accept bound already proved eligible: they skip
-        # grouping and kernel entirely.
-        _t0 = _time.perf_counter()
-        lats = lat_j.to_numpy(dtype=float)
-        lons = lon_j.to_numpy(dtype=float)
-        out = np.zeros(lats.shape[0], dtype=bool)
-        null_mask = corners_k.isna().to_numpy()
-        out[null_mask] = True
-        rest = np.flatnonzero(~null_mask)
-        if rest.size:
-            codes, _ = pd.factorize(k_evid.to_numpy()[rest])
-            order = np.argsort(codes, kind="stable")
-            sc = codes[order]
-            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-            ends = np.r_[starts[1:], sc.size]
-            for s, e0 in zip(starts, ends):
-                idx = rest[order[s:e0]]
-                key = tuple(map(tuple, corners_k.iloc[idx[0]]))
-                out[idx] = crjb_eligible_vec(lats[idx], lons[idx], key, _cutoff)
-        if _acc_busy is not None:
-            _acc_rows.add(int(lats.shape[0]))
-            _acc_auto.add(int(null_mask.sum()))
-            _acc_busy.add(_time.perf_counter() - _t0)
-        return pd.Series(out)
-
-    # asNondeterministic is the pushdown BARRIER: Catalyst never moves a
-    # non-deterministic filter, so the CRJB filter provably stays above
-    # the haversine prefilter and the repartition without materializing
-    # the (wide, corners-carrying) prefilter relation — at 1M events that
-    # materialization would be tens of GB. (The UDF is in fact
-    # deterministic; the flag is used purely as the plan fence.)
-    crjb_elig_udf = pandas_udf(_crjb_elig_batch, "boolean").asNondeterministic()
+    def _emit(batches):
+        # The pair stream ships NO nested corner payload: each claimer's
+        # polygon arrives ONCE, as a tagged row (j_prio null) sorted to
+        # lead its claimer's pair rows within the partition, so the
+        # (pairs-proportional) exchange, sort and Arrow transfer carry
+        # only narrow scalar columns. The polygon dict persists across
+        # the partition's Arrow batches (mapInPandas iterates one
+        # partition in sortWithinPartitions order), bounded by distinct
+        # claimers per partition. Pair rows are grouped by claimer prio
+        # with one vectorized factorize + argsort (per-row Python object
+        # churn on nested corners was the measured round-8 hot spot, and
+        # shipping corners per pair row kept paying it in the Arrow
+        # conversion); each group converts its polygon to the kernel's
+        # tuple form once (memoized in the dict) and runs the
+        # coarse-to-fine eligibility kernel. _auto pairs (the SQL
+        # d + r_min bound already proved eligibility) skip the kernel.
+        polys: dict = {}
+        for pdf in batches:
+            _tb = _time.perf_counter()
+            jp_all = pdf["j_prio"].to_numpy(dtype="float64", na_value=np.nan)
+            poly_mask = np.isnan(jp_all)
+            if poly_mask.any():
+                for kpv, cs in zip(
+                    pdf["k_prio"].to_numpy()[poly_mask],
+                    pdf["corners"].to_numpy()[poly_mask],
+                ):
+                    if cs is not None:
+                        polys[int(kpv)] = cs
+            pr = np.flatnonzero(~poly_mask)
+            if pr.size == 0:
+                if _acc_busy is not None:
+                    _acc_busy.add(_time.perf_counter() - _tb)
+                continue
+            kp = pdf["k_prio"].to_numpy()[pr]
+            lats = pdf["j_lat"].to_numpy(dtype=float)[pr]
+            lons = pdf["j_lon"].to_numpy(dtype=float)[pr]
+            auto = pdf["_auto"].fillna(False).to_numpy(dtype=bool)[pr]
+            out = auto.copy()
+            rest = np.flatnonzero(~auto)
+            if rest.size:
+                codes, uniq = pd.factorize(kp[rest])
+                order = np.argsort(codes, kind="stable")
+                sc = codes[order]
+                starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+                ends = np.r_[starts[1:], sc.size]
+                for s, e0 in zip(starts, ends):
+                    idx = rest[order[s:e0]]
+                    kid = int(uniq[sc[s]])
+                    key = polys.get(kid)
+                    if key is None:
+                        raise RuntimeError(
+                            "decluster pair stream: no polygon row preceded "
+                            f"claimer prio={kid} (sort/union invariant broken)"
+                        )
+                    if not isinstance(key, tuple):
+                        key = tuple(map(tuple, key))
+                        polys[kid] = key
+                    out[idx] = crjb_eligible_vec(lats[idx], lons[idx], key, _cutoff)
+            if _acc_busy is not None:
+                _acc_rows.add(int(pr.size))
+                _acc_auto.add(int(auto.sum()))
+                _acc_busy.add(_time.perf_counter() - _tb)
+            sel = np.flatnonzero(out)
+            yield pd.DataFrame(
+                {
+                    "k_prio": kp[sel].astype("int32"),
+                    "j_prio": jp_all[pr][sel].astype("int32"),
+                    "k_mag": pdf["k_mag"].to_numpy(dtype=float)[pr][sel],
+                    "j_mag": pdf["j_mag"].to_numpy(dtype=float)[pr][sel],
+                }
+            )
 
     from pyspark.sql import Window
 
+    # Polygon centroid + circum/inner radius are MAP-SIDE array folds over
+    # the corners column, computed once on the event relation — the old
+    # separate `centers` relation rode a catalog-sized BROADCAST into the
+    # claimer side, which a 1000-executor cluster would pay per executor.
+    nc = F.size("corners").cast("double")
+    clat_expr = (
+        F.aggregate(
+            F.transform("corners", lambda c: c[0]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / nc
+    )
+    clon_expr = (
+        F.aggregate(
+            F.transform("corners", lambda c: c[1]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / nc
+    )
+    hav_corner = lambda c: (  # noqa: E731
+        2.0
+        * EARTH_RADIUS_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(c[0] - F.col("clat")) / 2), 2)
+                + F.cos(F.radians("clat"))
+                * F.cos(F.radians(c[0]))
+                * F.pow(F.sin(F.radians(c[1] - F.col("clon")) / 2), 2)
+            )
+        )
+    )
     # The global row_number window necessarily runs on ONE partition (it
-    # is a total order over a small dimension — ~60 B/event), but without
-    # the repartition EVERYTHING downstream inherits that single
-    # partition: the pair join, the CRJB UDF and every fixpoint round ran
-    # on one core (measured: 127 s of a 165 s wall at 100k events was the
-    # UDF on a single task). Re-spread to the cluster width and
-    # checkpoint once — e is reused by k, j, the state fixpoint and the
-    # final assembly, so this also stops the window sort re-running per
-    # consumer.
+    # is a total order over a small dimension — ~150 B/event with the
+    # polygon column), but without the repartition EVERYTHING downstream
+    # inherits that single partition: the pair join, the CRJB stage and
+    # every fixpoint round ran on one core (measured: 127 s of a 165 s
+    # wall at 100k events was the UDF on a single task). Re-spread to the
+    # cluster width and checkpoint once — e is reused by k, j, the
+    # polygon stream, the state fixpoint and the final assembly, so this
+    # also stops the window sort re-running per consumer.
     ncores = spark.sparkContext.defaultParallelism
     e = (
-        events_df.select(
+        ev_src.select(
             "evid",
             F.col("datetime").cast("double").alias("t"),
             "mag",
             "lat",
             "lon",
+            "corners",
         )
+        .withColumn("clat", clat_expr)
+        .withColumn("clon", clon_expr)
+        .withColumn("rad_km", F.array_max(F.transform("corners", hav_corner)))
+        # min centroid→corner distance: the auto-accept bound's radius.
+        # Corners are members of the resampled boundary point set, so
+        # CRJB(p) ≤ d(p, centroid) + rmin_km by the spherical triangle
+        # inequality — a pair with d + rmin ≤ cutoff is PROVABLY eligible
+        # without running the exact kernel.
+        .withColumn("rmin_km", F.array_min(F.transform("corners", hav_corner)))
         .withColumn(
             "prio",
             F.row_number().over(Window.orderBy(F.col("mag").desc(), F.col("evid"))),
@@ -604,11 +722,17 @@ def decluster_distributed(
     # boundaries come from one scalar min/max-mag aggregate (an optimizer
     # statistic, not data through the driver); the band table is a
     # broadcast relation of ~a dozen rows.
+    # ONE scalar statistics pass over the checkpointed event relation
+    # feeds both the band table and the spatial cell sizing (these are
+    # optimizer statistics, not data through the driver).
     mm = e.agg(
         F.min("mag").alias("lo"),
         F.max("mag").alias("hi"),
         F.min("t").alias("t0"),
         F.max("t").alias("t1"),
+        F.max(F.abs(F.col("lat"))).alias("max_abs_lat"),
+        F.max(F.abs(F.col("clat"))).alias("max_abs_clat"),
+        F.max("rad_km").alias("max_rad"),
     ).collect()[0]
     band_w = 0.5
     t_span = (
@@ -619,6 +743,7 @@ def decluster_distributed(
         float(mm.hi) if mm.hi is not None else None,
         band_w,
         t_span,
+        merge_factor=2.0,
     )
     # claimer map: raw band -> (merged band, bucket width); target side
     # joins the DISTINCT merged bands with the band's top raw id as the
@@ -635,12 +760,24 @@ def decluster_distributed(
         [(tb, w, mx) for tb, (w, mx) in tgt_rows.items()],
         schema="tb int, band_wsec double, max_raw int",
     )
+    # Claimers are identified by PRIO (a dense int from the priority
+    # window) end-to-end — no evid strings ride the pair exchange. The
+    # bucket explosion covers exactly the buckets the claimer's own
+    # window [k_t, k_t + k_win] touches (k_win ≤ band_wsec by the band's
+    # sup-window construction, so that is 1 or 2 distinct buckets —
+    # array_distinct drops the second copy when the window does not
+    # cross a bucket boundary, ~35% fewer claimer rows on a uniform
+    # catalog, with identical coverage: floor(j_t / w) for any eligible
+    # j lies in [floor(k_t / w), floor((k_t + k_win) / w)]).
     k = (
         e.select(
             F.col("prio").alias("k_prio"),
-            F.col("evid").alias("k_evid"),
             F.col("t").alias("k_t"),
             F.col("mag").alias("k_mag"),
+            F.col("clat").alias("k_clat"),
+            F.col("clon").alias("k_clon"),
+            F.col("rad_km").alias("k_rad_km"),
+            F.col("rmin_km").alias("k_rmin_km"),
         )
         .withColumn("k_win", window_s)
         .withColumn("band", F.floor(F.col("k_mag") / band_w).cast("int"))
@@ -648,9 +785,13 @@ def decluster_distributed(
         .withColumn(
             "kb",
             F.explode(
-                F.array(
-                    F.floor(F.col("k_t") / F.col("band_wsec")),
-                    F.floor(F.col("k_t") / F.col("band_wsec")) + 1,
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.col("k_t") / F.col("band_wsec")),
+                        F.floor(
+                            (F.col("k_t") + F.col("k_win")) / F.col("band_wsec")
+                        ),
+                    )
                 )
             ),
         )
@@ -660,7 +801,6 @@ def decluster_distributed(
     j = (
         e.select(
             F.col("prio").alias("j_prio"),
-            F.col("evid").alias("j_evid"),
             F.col("t").alias("j_t"),
             F.col("mag").alias("j_mag"),
             F.col("lat").alias("j_lat"),
@@ -677,59 +817,9 @@ def decluster_distributed(
     # Bounding-circle prefilter: CRJB ≤ cutoff implies the centroid lies
     # within cutoff + circumradius of the polygon center, so a pure-SQL
     # haversine kills the bulk of time/mag-qualified pairs (at sf0.01,
-    # ~285k → a few thousand) before the exact boundary-distance UDF runs.
-    # Conservative bound only — never changes the surviving pair set.
-    # Centroid + circumradius are MAP-SIDE array folds over the corners
-    # column — the center relation is derived distributed, not built by a
-    # driver loop over a dict.
-    nc = F.size("corners").cast("double")
-    clat = (
-        F.aggregate(
-            F.transform("corners", lambda c: c[0]),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        / nc
-    )
-    clon = (
-        F.aggregate(
-            F.transform("corners", lambda c: c[1]),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        / nc
-    )
-    hav_corner = lambda c: (  # noqa: E731
-        2.0
-        * EARTH_RADIUS_KM
-        * F.asin(
-            F.sqrt(
-                F.pow(F.sin(F.radians(c[0] - F.col("k_clat")) / 2), 2)
-                + F.cos(F.radians("k_clat"))
-                * F.cos(F.radians(c[0]))
-                * F.pow(F.sin(F.radians(c[1] - F.col("k_clon")) / 2), 2)
-            )
-        )
-    )
-    centers = (
-        corners_df.withColumn("k_clat", clat)
-        .withColumn("k_clon", clon)
-        .withColumn("k_rad_km", F.array_max(F.transform("corners", hav_corner)))
-        # min centroid→corner distance: the auto-accept bound's radius.
-        # Corners are members of the resampled boundary point set, so
-        # CRJB(p) ≤ d(p, centroid) + k_rmin_km by the spherical triangle
-        # inequality — a pair with d + r_min ≤ cutoff is PROVABLY
-        # eligible without running the exact kernel.
-        .withColumn("k_rmin_km", F.array_min(F.transform("corners", hav_corner)))
-        .select(
-            F.col("evid").alias("k_evid"),
-            F.col("corners").alias("k_corners"),
-            "k_clat",
-            "k_clon",
-            "k_rad_km",
-            "k_rmin_km",
-        )
-    )
+    # ~285k → a few thousand) before the exact boundary-distance kernel
+    # runs. Conservative bound only — never changes the surviving pair
+    # set. Centroid + circum/inner radius were computed map-side on e.
     hav_bound = (
         2.0
         * EARTH_RADIUS_KM
@@ -759,17 +849,9 @@ def decluster_distributed(
     # lon-wrapped cell id; the reference's NZ catalogs do not straddle.
     import math as _math
 
-    stats_row = (
-        centers.agg(
-            F.max(F.abs(F.col("k_clat"))).alias("max_abs_clat"),
-            F.max("k_rad_km").alias("max_rad"),
-        )
-        .crossJoin(e.agg(F.max(F.abs(F.col("lat"))).alias("max_abs_lat")))
-        .collect()[0]
-    )
-    reach_km = crjb_cutoff_km + float(stats_row.max_rad or 0.0) + 0.5
+    reach_km = crjb_cutoff_km + float(mm.max_rad or 0.0) + 0.5
     max_abs_lat = max(
-        float(stats_row.max_abs_lat or 0.0), float(stats_row.max_abs_clat or 0.0)
+        float(mm.max_abs_lat or 0.0), float(mm.max_abs_clat or 0.0)
     )
     cos_lat = max(_math.cos(_math.radians(max_abs_lat)), 0.05)
     # km-per-degree derived from the SAME sphere the eligibility
@@ -793,24 +875,60 @@ def decluster_distributed(
         )
     ).alias("nb")
     # claimer cells come from the polygon CENTROID (the bound's anchor),
-    # so the centers relation joins BEFORE cell explosion; it replaces the
-    # post-join centers join the all-pairs formulation used.
+    # computed map-side on e — no join precedes the cell explosion.
+    cell = F.lit(cell_deg)
     k_cells = (
-        k.join(F.broadcast(centers), "k_evid")
-        .select("*", nb)
+        k.select("*", nb)
         .select(
             "*",
-            (F.floor(F.col("k_clat") / F.lit(cell_deg)) + F.col("nb.dy")).alias("kcy"),
-            (F.floor(F.col("k_clon") / F.lit(cell_deg)) + F.col("nb.dx")).alias("kcx"),
+            (F.floor(F.col("k_clat") / cell) + F.col("nb.dy")).alias("kcy"),
+            (F.floor(F.col("k_clon") / cell) + F.col("nb.dx")).alias("kcx"),
         )
         .drop("nb")
     )
+    # DISC-TOUCH cell pruning: of the 9 exploded cells, keep only those
+    # the claimer's reach disc (radius cutoff + its own circumradius +
+    # margin — the same bound the haversine prefilter applies to j) can
+    # actually intersect. The per-cell minimum distance is lower-bounded
+    # term-by-term — clamped |Δlat|, clamped |Δlon|, and the cell's
+    # minimum cos(lat) (clamped at 0) — so every haversine 'a' to any
+    # point of the cell dominates a_min and no reachable cell is ever
+    # dropped; cells the disc provably cannot touch (~1/3 of the 9 at
+    # this cell/reach ratio) never enter the exchange or the join.
+    _dphi_min = F.greatest(
+        F.lit(0.0),
+        F.col("kcy") * cell - F.col("k_clat"),
+        F.col("k_clat") - (F.col("kcy") + 1) * cell,
+    )
+    _dlam_min = F.greatest(
+        F.lit(0.0),
+        F.col("kcx") * cell - F.col("k_clon"),
+        F.col("k_clon") - (F.col("kcx") + 1) * cell,
+    )
+    _min_cos_cell = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.cos(F.radians(F.col("kcy") * cell)),
+            F.cos(F.radians((F.col("kcy") + 1) * cell)),
+        ),
+    )
+    _a_min = F.least(
+        F.lit(1.0),
+        F.pow(F.sin(F.radians(_dphi_min) / 2), 2)
+        + F.cos(F.radians("k_clat"))
+        * _min_cos_cell
+        * F.pow(F.sin(F.radians(_dlam_min) / 2), 2),
+    )
+    k_cells = k_cells.filter(
+        2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(_a_min))
+        <= F.lit(crjb_cutoff_km) + F.col("k_rad_km") + F.lit(0.5)
+    )
     j_cells = j.select(
         "*",
-        F.floor(F.col("j_lat") / F.lit(cell_deg)).alias("jcy"),
-        F.floor(F.col("j_lon") / F.lit(cell_deg)).alias("jcx"),
+        F.floor(F.col("j_lat") / cell).alias("jcy"),
+        F.floor(F.col("j_lon") / cell).alias("jcx"),
     )
-    prefiltered = (
+    pairs_narrow = (
         k_cells.join(
             j_cells,
             (F.col("k_tb") == F.col("j_tb"))
@@ -820,7 +938,7 @@ def decluster_distributed(
             & (F.col("j_mag") <= F.col("k_mag"))
             & (F.col("j_t") >= F.col("k_t"))
             & (F.col("j_t") <= F.col("k_t") + F.col("k_win"))
-            & (F.col("k_evid") != F.col("j_evid")),
+            & (F.col("k_prio") != F.col("j_prio")),
         )
         .withColumn("_hav", hav_bound)
         .filter(
@@ -832,54 +950,72 @@ def decluster_distributed(
         # PROVES eligibility without the exact kernel (the 1e-6 km margin
         # keeps a float-boundary pair on the exact-kernel path instead).
         # Free: reuses the single materialized haversine column and the
-        # index-build-time array_min. Null the polygon on such pairs:
-        # Arrow ships no corner payload and the UDF skips both the kernel
-        # and the per-row polygon hashing for them. On mag-scaled rupture
-        # polygons SMALLER than the cutoff (real catalogs' small-event
-        # majority) this absorbs the near-field pair mass; the synthetic
-        # 0.15°-square benchmark (circumradius ~21 km > 10 km cutoff)
-        # never fires it, by construction.
+        # map-side array_min. On mag-scaled rupture polygons SMALLER than
+        # the cutoff (real catalogs' small-event majority) this absorbs
+        # the near-field pair mass; the synthetic 0.15°-square benchmark
+        # (circumradius ~21 km > 10 km cutoff) never fires it, by
+        # construction.
         .withColumn(
             "_auto",
             F.col("_hav")
             <= F.lit(crjb_cutoff_km) - F.col("k_rmin_km") - F.lit(1e-6),
         )
-        .withColumn(
-            "k_corners",
-            F.when(F.col("_auto"), F.lit(None)).otherwise(F.col("k_corners")),
+        # NARROW pair rows: only what the eligibility kernel reads plus
+        # what the fixpoint keeps — two int prios, two mags, the target
+        # centroid, the auto flag. Everything join-internal (bucket/cell
+        # keys, window, bounds, the wide haversine) dies here, BEFORE the
+        # pairs-proportional exchange.
+        .select(
+            "k_prio", "j_prio", "k_mag", "j_mag", "j_lat", "j_lon", "_auto"
         )
-        .drop("_hav")
-        # Hash-partition the survivors by claimer BEFORE the UDF: (a)
-        # parallelism — the join output otherwise inherits its left
-        # side's width; (b) polygon locality. Then SORT within each
-        # partition by claimer: shuffle arrival order interleaves a
+    )
+    # Polygon delivery WITHOUT a per-pair payload: each claimer's corners
+    # enter the stream once, as a tagged row (j_prio null), and the
+    # partition-local sort below (j_prio nulls-first) guarantees the
+    # polygon row leads its claimer's pair rows.
+    corners_t = e.schema["corners"].dataType
+    poly_rows = e.select(
+        F.col("prio").alias("k_prio"),
+        F.lit(None).cast("int").alias("j_prio"),
+        F.lit(None).cast("double").alias("k_mag"),
+        F.lit(None).cast("double").alias("j_mag"),
+        F.lit(None).cast("double").alias("j_lat"),
+        F.lit(None).cast("double").alias("j_lon"),
+        F.lit(None).cast("boolean").alias("_auto"),
+        F.col("corners"),
+    )
+    stream = (
+        pairs_narrow.withColumn("corners", F.lit(None).cast(corners_t))
+        .unionByName(poly_rows)
+        # Hash-partition by claimer BEFORE the kernel: (a) parallelism —
+        # the join output otherwise inherits its left side's width; (b)
+        # polygon locality. Then SORT within each partition by (claimer,
+        # j_prio nulls-first): shuffle arrival order would interleave a
         # claimer's rows across every Arrow batch of its partition, so
         # without the sort each batch re-converts and re-resamples the
         # same polygons (at 10M events a partition holds ~60k distinct
         # claimers — far past the boundary cache); sorted, each claimer
-        # is contiguous, touched by at most two batches, and its polygon
+        # is contiguous, its polygon row arrives first, and its polygon
         # work is paid once regardless of catalog scale. Skew is bounded
         # by the hottest single claimer's pair count.
-        .repartition(4 * ncores, F.col("k_evid"))
-        .sortWithinPartitions("k_evid")
+        .repartition(4 * ncores, F.col("k_prio"))
+        .sortWithinPartitions("k_prio", "j_prio")
     )
     _mark("t_prep")
-    pairs = (
-        prefiltered
-        .filter(crjb_elig_udf("k_evid", "k_corners", "j_lat", "j_lon"))
-        .select("k_prio", "k_evid", "j_prio", "j_evid", "k_mag", "j_mag")
-        .localCheckpoint()
-    )
+    pairs = stream.mapInPandas(
+        _emit, schema="k_prio int, j_prio int, k_mag double, j_mag double"
+    ).localCheckpoint()
     n_pairs = pairs.count()  # cheap: pairs is checkpointed and narrow
     if stats is not None:
         stats["pairs_eligible"] = n_pairs
         # pair-volume accounting (verdict r4 ask #1), from the in-pass
         # accumulators: candidate pairs that survived the equi-join +
-        # haversine prefilter (= rows the eligibility UDF scored), how
+        # haversine prefilter (= rows the eligibility kernel scored), how
         # many the d + r_min ≤ cutoff bound auto-accepted kernel-free,
-        # and the UDF's total in-Python busy time (core-seconds summed
-        # across workers — divide by parallelism for the wall-equivalent
-        # share of t_pairs that is CRJB compute rather than join).
+        # and the total in-Python busy time (core-seconds summed across
+        # workers — divide by parallelism for the wall-equivalent share
+        # of t_pairs that is Python-side work rather than join/exchange).
+        # Exact on a clean run; approximate under task retries (above).
         stats["pairs_prefilter"] = _acc_rows.value
         stats["pairs_auto_accepted"] = _acc_auto.value
         stats["crjb_udf_core_s"] = round(_acc_busy.value, 3)

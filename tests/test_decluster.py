@@ -440,6 +440,36 @@ def test_mag_bands_window_upper_bound():
         assert w + 1e-9 >= raw_w[raw]
 
 
+def test_mag_bands_factor_merge():
+    # Factor-merging (the target-replication cut decluster_distributed
+    # uses) must keep every raw band exactly once, keep group widths a
+    # TRUE upper bound of each member's raw window, bound the bucket-slop
+    # growth by the factor, and only ever group CONSECUTIVE bands.
+    from nzgmdb_spark.operators.decluster import _mag_bands
+
+    plain = _mag_bands(2.7, 9.3, 0.5)
+    rows = _mag_bands(2.7, 9.3, 0.5, merge_factor=2.0)
+    assert [b for b, _, _ in rows] == [b for b, _, _ in plain]
+    raw_w = {b: w for b, _, w in plain}
+    groups: dict[int, list[int]] = {}
+    first_w: dict[int, float] = {}
+    for b, tb, w in rows:
+        assert w + 1e-9 >= raw_w[b]  # upper bound preserved
+        groups.setdefault(tb, []).append(b)
+        first_w.setdefault(tb, raw_w[tb])
+        assert w <= first_w[tb] * 2.0 + 1e-6  # slop bounded by factor
+    for tb, members in groups.items():
+        assert members == list(range(min(members), max(members) + 1))
+        assert tb == min(members)  # group labeled by its first band
+    # it actually merges: a GR-style band ladder (ratio 1.86 < 2) pairs up
+    assert len(groups) < len(plain)
+    # composes with span merging without losing coverage
+    both = _mag_bands(2.7, 9.3, 0.5, t_span_s=200.0 * 86400.0, merge_factor=2.0)
+    assert sorted(b for b, _, _ in both) == sorted(b for b, _, _ in plain)
+    for b, _, w in both:
+        assert w + 1e-9 >= raw_w[b]
+
+
 def test_auto_accept_fires_and_stays_exact(spark):
     """The d + r_min ≤ cutoff auto-accept (null-corners kernel skip) must
     actually FIRE on a small-polygon clustered catalog — a silent
