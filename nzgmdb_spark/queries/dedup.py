@@ -128,6 +128,35 @@ def _grams() -> Column:
     )
 
 
+def _grams_hashed() -> Column:
+    """Distinct word-3-gram keys as xxhash64 BIGINTs, hashed map-side
+    INSIDE the shingle lambda so the raw gram text never reaches an
+    exchange (the duplicate-spans trick, queries/corpus_stats.py:95) —
+    one 8-byte key per shingle instead of ~25 bytes of text through the
+    posting-list shuffle, which was the repo's widest sf10 memory peak.
+    Grouping by hash equals grouping by text up to 64-bit collisions
+    (pinned hashed == text in tests/test_corpus_stats.py). Consumers
+    whose OUTPUT never contains the shingle (Jaccard/containment pair
+    counts, the capped twin, decontamination overlap counts) use this
+    form; the minhash staging keeps raw grams — its md5(s) must match
+    the oracle's md5 of the TEXT key."""
+    w = F.col("w")
+    idx = F.sequence(F.lit(0), F.size(w) - 3)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                )
+            ),
+        )
+    )
+
+
 # --- n-gram Jaccard near-dup pairs: block on shared shingles (equi-join),
 # never on the cross product.
 
@@ -179,11 +208,14 @@ def _jaccard_pairs(toks: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def _pair_counts(toks: DataFrame) -> DataFrame:
+def _pair_counts(toks: DataFrame, hashed: bool = True) -> DataFrame:
     """(doc_a < doc_b, na, nb, n_common) over shared word-3-grams — the
     posting-list pair expansion shared by the Jaccard and containment
-    operators (two shuffles, zero joins; see dedup_ngram_jaccard notes)."""
-    grams = _grams()
+    operators (two shuffles, zero joins; see dedup_ngram_jaccard notes).
+    The default ships xxhash64 shingle keys through the posting-list
+    exchange (_grams_hashed); hashed=False is the text-keyed twin the
+    equivalence test compares against."""
+    grams = _grams_hashed() if hashed else _grams()
     # Carry the per-doc set size THROUGH the explode by zipping it next to
     # each shingle inside one generator expression: `size(grams)` in a
     # select next to `explode(grams)` would land in a Project ABOVE the
@@ -1357,7 +1389,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = _tokenized_docs(spark, sf_dir)
     sh = toks.select(
-        "doc_id", F.explode(_grams()).alias("s")
+        "doc_id", F.explode(_grams_hashed()).alias("s")
     )
     posting = (
         sh.groupBy("s")

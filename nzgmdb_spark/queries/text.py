@@ -406,7 +406,7 @@ GROUP BY m.doc_id
 
 @register("text_decontaminate", sql=DECONTAM_SQL, survey=["P4", "A2", "J13"])
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nzgmdb_spark.queries.dedup import _grams, _tokenized_docs
+    from nzgmdb_spark.queries.dedup import _grams_hashed, _tokenized_docs
 
     toks = _tokenized_docs(spark, sf_dir)
     bucket = (
@@ -420,7 +420,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = toks.select(
         "doc_id",
         F.when(bucket < 90, "train").otherwise("eval").alias("split"),
-        F.explode(_grams()).alias("s"),
+        # 8-byte hashed shingle keys through the train↔eval overlap join
+        # (output is per-doc counts — never the shingle itself); the
+        # text-twin equivalence is pinned for the shared helper in
+        # tests/test_corpus_stats.py.
+        F.explode(_grams_hashed()).alias("s"),
     )
     eval_sh = marked.filter(F.col("split") == "eval").select("s").distinct()
     return (

@@ -213,6 +213,28 @@ def test_duplicate_spans_hashed_equals_text(spark):
     assert hashed.equals(text)
 
 
+def test_ngram_pair_counts_hashed_equals_text(spark):
+    """The registered Jaccard/containment family ships xxhash64 shingle
+    keys through the posting-list exchange (8 bytes vs ~25 bytes of gram
+    text — the repo's widest sf10 memory peak); grouping by hash must
+    reproduce the text-keyed twin (the oracle's shape) EXACTLY on the
+    test corpus — a 64-bit collision would merge posting lists (inflating
+    n_common) or shrink a doc's distinct-gram count, and show here."""
+    from tests.conftest import SF_MEDIUM
+
+    from nzgmdb_spark.queries.dedup import _pair_counts, _tokenized_docs
+
+    toks = _tokenized_docs(spark, SF_MEDIUM)
+
+    def frame(hashed):
+        df = _pair_counts(toks, hashed=hashed).toPandas()
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    hashed, text = frame(True), frame(False)
+    assert len(hashed) > 0, "vacuous: no co-shingled pairs in fixture"
+    assert hashed.equals(text)
+
+
 def test_bigram_perplexity_hashed_equals_text(spark):
     """The registered text_bigram_perplexity ships (doc_id, xxhash64(w1,w2))
     through the corpus-sized score-lookup exchange; keying by hash must
