@@ -49,17 +49,23 @@ from nzgmdb_spark.queries.registry import register
 # catches cross-document template reuse that document-hash dedup
 # misses).
 #
-# Plan shape at 100 TB: one explode (~L windows/doc), one map-side
-# combinable count per window key, one shuffle equi-join of the window
-# stream against its counts, one per-doc agg. No all-pairs anywhere; a
-# mega-frequent boilerplate span produces a single hot aggregation key
-# that partial aggregation absorbs map-side, and AQE skew-join handles
-# the join back. The registered path xxhash64-es the window string to
-# 8 bytes BEFORE the shuffle (~10x fewer shuffle bytes; grouping by
-# hash equals grouping by text up to 64-bit collisions, the standard
-# Lee-et-al trade); the text path is kept as an internal twin that the
-# exact DuckDB oracle mirrors, and a property test pins hashed == text
-# output on the test corpus.
+# Plan shape at 100 TB: one explode (~L windows/doc), ONE span-keyed
+# shuffle — there is no join back to the span stream. A span whose
+# corpus-wide count is 1 has exactly one owning document, so per-doc
+# duplicated spans are a complement: n_dup_spans = n_spans −
+# #singleton-spans-owned. The span aggregation therefore emits only
+# (owner, 1) rows for singleton spans; everything else (total spans per
+# doc, owned-singleton counts) is a doc-cardinality aggregate with full
+# map-side combine. The previous shape re-shuffled the whole span
+# stream to equi-join its counts and held the repo's second-widest sf10
+# memory peak (10.9 GiB) in that join's sorts. No all-pairs anywhere; a
+# mega-frequent boilerplate span is a single hot count key absorbed by
+# partial aggregation. The registered path xxhash64-es the window
+# string to 8 bytes BEFORE the shuffle (~10x fewer shuffle bytes;
+# grouping by hash equals grouping by text up to 64-bit collisions, the
+# standard Lee-et-al trade); the text path is kept as an internal twin
+# that the exact DuckDB oracle mirrors, and a property test pins
+# hashed == text output on the test corpus.
 
 _SPAN_K = 8
 
@@ -109,15 +115,25 @@ def _duplicate_spans(
             )
         ).alias("s"),
     )
-    counts = spans.groupBy("s").agg(F.count(F.lit(1)).alias("n_occ"))
-    dup = F.sum((F.col("n_occ") > 1).cast("bigint"))
-    return (
-        spans.join(counts, "s")
+    # Complement identity — no join back to the span stream: a span with
+    # corpus-wide count 1 is owned by exactly one doc (min == its only
+    # occurrence), so n_dup_spans = n_spans − #owned-singletons. The one
+    # span-keyed shuffle feeds BOTH doc-sized aggregates; a within-doc
+    # repeat (n_occ > 1, one owner) is correctly a duplicated span.
+    singles = (
+        spans.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n_occ") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            dup.alias("n_dup_spans"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_single"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    n_dup = (F.col("n_spans") - F.coalesce(F.col("n_single"), F.lit(0))).cast(
+        "bigint"
+    )
+    return (
+        per_doc.join(singles, "doc_id", "left")
+        .select("doc_id", "n_spans", n_dup.alias("n_dup_spans"))
         .filter(F.col("n_dup_spans") > 0)
         .select(
             "doc_id",
