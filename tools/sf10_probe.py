@@ -52,6 +52,22 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "48g")
+        # Bound the UI/status-store state so ONE JVM survives the whole
+        # probe (round-9 provenance: the 10M decluster OOM'd a 48 g heap
+        # after ~3,400 accumulated measurement stages — retained
+        # stage/task/SQL-execution state, not the workload; this repo's
+        # mega-expression plans make each retained SQL execution
+        # megabytes of plan string). StageMemoryProbe only diffs stages
+        # newer than each run's start, so a 400-stage window is ample.
+        .config("spark.ui.retainedStages", "400")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedTasks", "20000")
+        .config("spark.sql.ui.retainedExecutions", "20")
+        # localCheckpoint RDDs (decluster fixpoint rounds) free their
+        # blocks only when the driver GC collects the DataFrame refs —
+        # the default 30 min periodic GC is slower than the probe's
+        # churn at 10M events.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .appName("sf10-probe")
         .getOrCreate()
     )
