@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE convert a sort-merge join to a shuffled hash join at
+        # runtime when the build side's per-partition map fits (default 0
+        # disables the conversion entirely). Streaming the big side
+        # unsorted removes the sort buffers that dominated the widest
+        # fact-fact joins: q5's 60M-row lineitem⋈orders SMJ build peaked
+        # at 10.0 GiB at the sf10 probe scale, 3.1 GiB (and ~5x faster)
+        # with the conversion on (tools/q5_join_audit.py). 128m bounds
+        # worst-case concurrent build maps at 32 tasks to ~4 GiB; joins
+        # whose maps exceed it keep the spill-graceful SMJ.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -137,6 +137,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
+        # engine default (nzgmdb_spark/session.py): AQE SMJ→SHJ
+        # conversion — measure the plans users get
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m"
+        )
         .appName("scaling")
         .getOrCreate()
     )

@@ -52,6 +52,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "48g")
+        # engine default (nzgmdb_spark/session.py): AQE SMJ→SHJ
+        # conversion — the probe must measure the plans users get
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m"
+        )
         # Bound the UI/status-store state so ONE JVM survives the whole
         # probe (round-9 provenance: the 10M decluster OOM'd a 48 g heap
         # after ~3,400 accumulated measurement stages — retained
@@ -139,6 +144,15 @@ def main() -> None:
         'confirming the replica construction holds at 100 replicas. Ratios < 1',
         'are shared-host noise that hit every sf1 sample of that query (see the',
         'min-of-4 note above).',
+        '',
+        "q5 join adjudication (round-10 ask): the 60M-row lineitem⋈orders",
+        "sort-merge build peaked at 10.0 GiB here in round 9. The engine now",
+        "enables AQE's runtime SMJ→SHJ conversion",
+        "(spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=128m,",
+        "nzgmdb_spark/session.py): the big side streams unsorted when the",
+        "build side's per-partition map fits — measured 10.0 → 3.1 GiB peak",
+        "and ~5× faster at identical results (tools/q5_join_audit.py); joins",
+        "whose maps exceed the bound keep the spill-graceful SMJ.",
         '',
         'sf10 decluster (VERDICT r4 ask #4): the distributed fixpoint at the',
         '10M-event catalog, density-constant construction (Gutenberg-Richter',
