@@ -23,8 +23,9 @@ flag-identical to the sequential algorithm on randomized catalogs) is the
 path past a driver-collectable catalog, and the crossover is already
 visible at test scale: on the sf0.1 catalog (10k events, local[32]) the
 sequential driver loop takes ~118 s while the distributed fixpoint takes
-~29 s — 4× — because the eligibility join and CRJB kernel parallelize
-while the greedy loop cannot.
+~14 s — because the eligibility join and CRJB kernel parallelize while
+the greedy loop cannot. SCALING.md carries the measured growth points
+(density-constant 1M events ≈ 60-86 s, 10M ≈ 1274 s in one probe JVM).
 """
 
 from __future__ import annotations
@@ -591,7 +592,10 @@ def decluster_distributed(
             kp = pdf["k_prio"].to_numpy()[pr]
             lats = pdf["j_lat"].to_numpy(dtype=float)[pr]
             lons = pdf["j_lon"].to_numpy(dtype=float)[pr]
-            auto = pdf["_auto"].fillna(False).to_numpy(dtype=bool)[pr]
+            # _auto is null only on polygon rows, all masked out by pr —
+            # subset FIRST, then cast (fillna on the mixed column trips
+            # pandas' object-downcasting deprecation on every batch)
+            auto = pdf["_auto"].to_numpy()[pr].astype(bool)
             out = auto.copy()
             rest = np.flatnonzero(~auto)
             if rest.size:
