@@ -154,6 +154,16 @@ def main() -> None:
         "and ~5× faster at identical results (tools/q5_join_audit.py); joins",
         "whose maps exceed the bound keep the spill-graceful SMJ.",
         '',
+        'dedup_ngram_jaccard memory adjudication (round-10): its sf10 peak',
+        'sits in the pair-count hash aggregates — counting |A∩B| for every',
+        'co-shingled pair IS the query\'s exact semantic, and the peak is',
+        'OPPORTUNISTIC, not required: under a 6 GiB heap (vs this probe\'s',
+        '48 GiB) the same query completes with identical results, peak',
+        'capped at ~7 GiB and ~31 GiB spilled, at comparable wall',
+        '(tools/memory_elasticity_probe.py). On a real cluster the pair',
+        'stream divides across executors; under local pressure it degrades',
+        'to spill, never OOM.',
+        '',
         'sf10 decluster (VERDICT r4 ask #4): the distributed fixpoint at the',
         '10M-event catalog, density-constant construction (Gutenberg-Richter',
         'magnitudes, span stretched to 30,000 days so the event rate matches',
