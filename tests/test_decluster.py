@@ -136,6 +136,70 @@ def test_distributed_matches_sequential(spark):
         ), f"seed {seed}: cluster partitions diverge"
 
 
+def test_distributed_matches_sequential_high_latitude_mixed_polygons(spark):
+    """Stress the round-10 candidate machinery where its geometry is
+    hardest: high-latitude centroids (lon degrees shrink to ~cos 70° —
+    the disc-touch cell pruning and cell sizing must stay conservative),
+    polygon sizes MIXED from tiny (circumradius « cutoff — fires the
+    d + r_min auto-accept) to large elongated rectangles whose long
+    east-west segments make linearly-interpolated resample steps diverge
+    most from spacing_km (the measured max-step cover bound replaced the
+    old 1.05 heuristic exactly for this). Distributed flags must equal
+    the independent sequential greedy's bit-for-bit."""
+    import random
+
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    t0 = _epoch("2020-01-01T00:00:00")
+    for seed, n in ((5, 110), (41, 150)):
+        rng = random.Random(seed)
+        events = []
+        for i in range(n):
+            lat = -70.0 + rng.choice([0.0, 0.02, 0.05, 0.8, 2.0]) + rng.random() * 0.01
+            lon = 160.0 + rng.choice([0.0, 0.03, 1.0, 3.0]) + rng.random() * 0.01
+            mag = rng.choice([4.0, 4.0, 4.5, 5.0, 5.5, 6.6])
+            # mixed polygon scales: tiny squares (auto-accept path), fat
+            # squares, and wide east-west rectangles (long segments)
+            h_lat, h_lon = rng.choice(
+                [(0.02, 0.02), (0.15, 0.15), (0.05, 0.9), (0.3, 0.1)]
+            )
+            events.append(
+                {
+                    "evid": f"h{i:04d}",
+                    "datetime": t0 + rng.random() * 60.0 * 86400.0,
+                    "mag": mag,
+                    "lat": lat,
+                    "lon": lon,
+                    "corners": [
+                        (lat - h_lat, lon - h_lon),
+                        (lat - h_lat, lon + h_lon),
+                        (lat + h_lat, lon + h_lon),
+                        (lat + h_lat, lon - h_lon),
+                    ],
+                }
+            )
+        events.sort(key=lambda e: e["evid"])
+        a_seq, c_seq = decluster_catalog(events, crjb_cutoff_km=10.0)
+
+        df = spark.createDataFrame(
+            [
+                (e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"])
+                for e in events
+            ],
+            ["evid", "datetime", "mag", "lat", "lon"],
+        )
+        corners = {e["evid"]: e["corners"] for e in events}
+        out = decluster_distributed(df, corners, crjb_cutoff_km=10.0)
+        got = {r.evid: r for r in out.collect()}
+        evids = [e["evid"] for e in events]
+        assert [got[e].aftershock_flag for e in evids] == a_seq, (
+            f"seed {seed}: aftershock flags diverge at high latitude"
+        )
+        assert _partitions(
+            evids, [got[e].cluster_evid for e in evids]
+        ) == _partitions(evids, c_seq), f"seed {seed}: partitions diverge"
+
+
 def test_distributed_all_singleton_catalog(spark):
     # ADVICE r1: a catalog where no event claims another (sparse region /
     # small cutoff) used to crash building the has_claims frame from an
