@@ -79,58 +79,82 @@ FROM bistat b JOIN tristat t ON b.doc_id = t.doc_id
 """
 
 
+def _run_stats(sorted_arr):
+    """(max_run, n_in_runs_gt1) over a SORTED string array in ONE
+    codegen'd higher-order fold: max_run equals the max per-value
+    multiplicity, and n_in_runs_gt1 the total occurrences of values that
+    appear more than once — the two repetition statistics — without any
+    explode, per-gram shuffle, or per-doc groupBy. The `run > 0` guard
+    keeps the empty-string init sentinel from merging with a first gram
+    that happens to be empty."""
+    same = lambda acc, x: (x == acc["prev"]) & (acc["run"] > 0)  # noqa: E731
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(same(acc, x), acc["run"] + 1).otherwise(1).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(same(acc, x), acc["run"] + 1).otherwise(1),
+        ).alias("best"),
+        # occurrences inside >1-runs: the 2nd element of a run adds 2
+        # (itself + the retroactive first), later elements add 1
+        (
+            acc["dup"]
+            + F.when(same(acc, x), F.when(acc["run"] == 1, 2).otherwise(1))
+            .otherwise(0)
+        ).alias("dup"),
+    )
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+    )
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("best"), acc["dup"].alias("dup")
+        ),
+    )
+
+
 @register("text_repetition_signals", sql=REPETITION_SQL, survey=["A4", "F1"])
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality gate (Gopher §A.1.1 analog).
 
-    Plan: tokenize once, derive bigrams and trigrams as map-side array
-    transforms, one (doc_id, gram) count each, one per-doc rollup each,
-    and a doc_id equi-join of the two signal tables — every aggregation
-    partial/map-side-combinable, nothing quadratic, no window over the
-    gram stream.
-    """
+    Plan: MAP-ONLY. Both signals are per-doc statistics of the doc's own
+    n-gram multiset, so no gram ever needs to leave its row: bigrams and
+    trigrams are array transforms, sorted in place, and each reduced by
+    the single-fold _run_stats (max multiplicity = longest equal-run of
+    the sorted array; duplicated-occurrence count = elements in runs
+    longer than 1). Zero shuffles at any corpus size — the previous shape
+    exploded both gram streams through two (doc_id, gram) aggregations
+    and a join, paying four corpus-token-proportional exchanges for what
+    is row-local arithmetic. Oracle SQL unchanged (same fractions from
+    DuckDB's explode/GROUP BY formulation), so the value-hash contract
+    pins the fold's equivalence."""
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    bi = d.select(
+    ngram = lambda n: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("t", i + k) for k in range(n)]
+        ),
+    )
+    bi_stats = _run_stats(F.array_sort(ngram(2)))
+    tri_stats = _run_stats(F.array_sort(ngram(3)))
+    base = d.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-            )
-        ).alias("g"),
-    )
-    tri = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2),"
-                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1),"
-                " ' ', element_at(t, i + 2)))"
-            )
-        ).alias("g"),
-    )
-    bistat = (
-        bi.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("max_bi"), F.sum("c").alias("n_bi"))
-    )
-    tristat = (
-        tri.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
-                "dup_tri"
-            ),
-            F.sum("c").alias("n_tri"),
-        )
+        (F.size("t") - 1).cast("bigint").alias("n_bi"),
+        (F.size("t") - 2).cast("bigint").alias("n_tri"),
+        bi_stats["best"].alias("max_bi"),
+        tri_stats["dup"].alias("dup_tri"),
     )
     top_frac = F.col("max_bi").cast("double") / F.col("n_bi")
     dup_frac = F.col("dup_tri").cast("double") / F.col("n_tri")
-    return bistat.join(tristat, "doc_id").select(
+    return base.select(
         "doc_id",
         pround(top_frac, 6).alias("top_bigram_frac"),
         pround(dup_frac, 6).alias("dup_trigram_frac"),
