@@ -626,9 +626,14 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each term cast to DECIMAL(38,12) before the sum, so the reduction is
 # order-proof and the value hash exact.
 #
-# Plan shape at 100 TB: one tf aggregation (map-side combinable), one
-# per-doc total, one co-partitioned join + per-doc sum — shuffle ∝
-# distinct (doc, token) pairs, no corpus-wide state.
+# Plan shape at 100 TB: MAP-ONLY. The entropy of a document's own token
+# distribution never needs a token to leave its row: sort the token
+# array in place and reduce it with one higher-order fold that closes
+# each equal-run by adding that token's DECIMAL(38,12)-cast term —
+# decimal addition is exact and order-proof, so the fold's sum is
+# bit-identical to the oracle's GROUP-BY-then-SUM over the same cast
+# terms (the previous shape paid six exchanges and two joins for this
+# row-local arithmetic; the unchanged value hash pins the equivalence).
 
 ENTROPY_SQL = """
 WITH tf AS (
@@ -662,31 +667,62 @@ FROM h JOIN n ON n.doc_id = h.doc_id
 def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nzgmdb_spark.tables import tbl
 
-    d = tbl(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
     )
-    n = tf.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count(F.lit(1)).alias("u"),
+    n_tok = F.size("t").cast("bigint")
+    # Accumulate at DECIMAL(28,12): scale 12 matches the oracle's
+    # per-term cast (same rounded term values — precision only caps
+    # magnitude, and |sh| < 40), while precision 28 leaves the add's
+    # +1-digit widening room below Spark's 38 cap, so re-casting the
+    # (29,12) sum back to (28,12) never touches the scale — every step
+    # is exact, keeping the fold bit-identical to the oracle's SUM.
+    zero_dec = F.lit(0).cast("decimal(28,12)")
+
+    def term(run):
+        p = run.cast("double") / n_tok.cast("double")
+        return (p * F.log(p)).cast("decimal(28,12)")
+
+    same = lambda acc, x: (x == acc["prev"]) & (acc["run"] > 0)  # noqa: E731
+    close = lambda acc: (  # noqa: E731
+        F.when(acc["run"] > 0, acc["sh"] + term(acc["run"]))
+        .otherwise(acc["sh"])
+        .cast("decimal(28,12)")
     )
-    p = F.col("c").cast("double") / F.col("n")
-    h = (
-        tf.join(n, "doc_id")
-        .select("doc_id", (p * F.log(p)).cast("decimal(38,12)").alias("t"))
-        .groupBy("doc_id")
-        .agg(F.sum("t").cast("double").alias("sh"))
+    stats = F.aggregate(
+        F.array_sort(F.col("t")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("u"),
+            zero_dec.alias("sh"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(same(acc, x), acc["run"] + 1).otherwise(1).alias("run"),
+            F.when(same(acc, x), acc["u"]).otherwise(acc["u"] + 1).alias("u"),
+            F.when(same(acc, x), acc["sh"]).otherwise(close(acc)).alias("sh"),
+        ),
+        lambda acc: F.struct(
+            acc["u"].alias("u"), close(acc).cast("double").alias("sh")
+        ),
     )
-    return h.join(n, "doc_id").select(
+    base = d.select(
         "doc_id",
-        F.col("n").alias("n_tokens"),
-        F.col("u").cast("bigint").alias("n_unique"),
+        n_tok.alias("n_tokens"),
+        stats["u"].cast("bigint").alias("n_unique"),
+        stats["sh"].alias("sh"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
         pround(-F.col("sh"), 6).alias("entropy"),
         F.when(
-            F.col("u") > 1,
-            pround(-F.col("sh") / F.log(F.col("u").cast("double")), 6),
+            F.col("n_unique") > 1,
+            pround(
+                -F.col("sh") / F.log(F.col("n_unique").cast("double")), 6
+            ),
         )
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),

@@ -48,10 +48,10 @@ def test_map_only_queries_have_no_shuffle(spark):
                  "p12_allzero_array_check", "p8_component_split_drop",
                  "k7_clip_screen", "k8_prob_argmax_pick",
                  "k9_k10_fetch_window", "o2_topk_desc",
-                 # round 10: repetition signals are per-doc statistics of
-                 # the doc's own gram multiset — one sorted-array fold,
-                 # no gram ever leaves its row
-                 "text_repetition_signals"):
+                 # round 10: repetition signals and token entropy are
+                 # per-doc statistics of the doc's own token/gram multiset
+                 # — one sorted-array fold each, no token leaves its row
+                 "text_repetition_signals", "text_entropy_score"):
         plan = plan_of(spark, name)
         assert n_shuffles(plan) == 0, f"{name} gained a shuffle"
 
