@@ -606,15 +606,29 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nzgmdb_spark.queries.dedup import _tokenized_docs
 
     chunks = _cdc_chunk_rows(_tokenized_docs(spark, sf_dir))
-    occ = chunks.groupBy("s").agg(F.count(F.lit(1)).alias("n_occ"))
-    return (
-        chunks.join(occ, "s")
+    # Complement identity (the duplicate-spans trick): a chunk key with
+    # corpus-wide count 1 has exactly one owning doc, so n_dup_chunks =
+    # n_chunks − #owned-singletons — ONE chunk-keyed shuffle feeding two
+    # doc-cardinality aggregates, instead of re-shuffling the whole chunk
+    # stream to join its counts back (that join held a 4.4 GiB sf10 peak).
+    singles = (
+        chunks.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n_occ") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.max("n_tok").cast("bigint").alias("max_chunk_tokens"),
-            F.sum((F.col("n_occ") > 1).cast("bigint")).alias("n_dup_chunks"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_single"))
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("n_tok").cast("bigint").alias("max_chunk_tokens"),
+    )
+    return per_doc.join(singles, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        "max_chunk_tokens",
+        (F.col("n_chunks") - F.coalesce(F.col("n_single"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
     )
 
 
