@@ -349,12 +349,12 @@ def test_curation_plan_shapes(spark):
     assert n_shuffles(plan) == 1
     assert "WindowGroupLimit" in plan, "per-domain top-k lost rank pushdown"
 
-    # Repetition signals: two gram-count aggregations, each with a
-    # map-side partial phase, joined on doc_id — never a window over the
-    # exploded gram stream.
+    # Repetition signals (round-10 shape): per-doc sorted-array folds —
+    # no window, no join, no exploded gram stream, zero shuffles.
     plan = plan_of(spark, "text_repetition_signals")
     assert "Window" not in plan
-    assert "partial" in plan.lower()
+    assert "Generate" not in plan, "gram stream exploded again"
+    assert n_shuffles(plan) == 0
 
 
 def test_gridded_radius_join_is_equi(spark):
