@@ -120,7 +120,10 @@ def main() -> None:
             "timed action = count + xxhash64 checksum over all output "
             "columns (no expression pruning); rounds 1-3 timed bare "
             ".count(), which under-measured expression-heavy queries "
-            "(q1 0.30s pruned vs ~1.2s honest)"
+            "(q1 0.30s pruned vs ~1.2s honest); round-over-round deltas "
+            "on this steal-prone box are adjudicated with the interleaved "
+            "A/B harness (tools/ab_compare.py <refA> <refB>), not by "
+            "comparing BENCH_r files directly"
         ),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
