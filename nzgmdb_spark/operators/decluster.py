@@ -694,6 +694,45 @@ def decluster_distributed(
         # inequality — a pair with d + rmin ≤ cutoff is PROVABLY eligible
         # without running the exact kernel.
         .withColumn("rmin_km", F.array_min(F.transform("corners", hav_corner)))
+        # Polygon AABB (map-side array folds): feeds the round-11
+        # box-distance REJECT bound in the pair filter below — the
+        # polygon (hence its resampled boundary, hence every kernel
+        # distance target) lies inside this lat/lon box, so a provable
+        # lower bound on distance-to-box is a lower bound on the
+        # kernel's CRJB.
+        .withColumn("blat_lo", F.array_min(F.transform("corners", lambda c: c[0])))
+        .withColumn("blat_hi", F.array_max(F.transform("corners", lambda c: c[0])))
+        .withColumn("blon_lo", F.array_min(F.transform("corners", lambda c: c[1])))
+        .withColumn("blon_hi", F.array_max(F.transform("corners", lambda c: c[1])))
+        # Axis-aligned-rectangle flag (round-11): true iff the polygon is
+        # a simple 4-corner ring whose corners are exactly the AABB's
+        # four corners and whose consecutive edges are each axis-aligned
+        # (one coordinate equal, the other different — rules out bowtie
+        # orderings and degenerate boxes). For such rings, a STRICTLY
+        # interior point is inside by the kernel's ray cast bit-exactly:
+        # horizontal edges never satisfy (y1 > lat) != (y2 > lat), and
+        # vertical edges compute x_int = x1 + t·0 == x1 exactly in IEEE
+        # arithmetic — so the per-pair 4-comparison interior test below
+        # may auto-accept (CRJB = 0 inside) without running the kernel.
+        # This is a PER-EVENT fold over 4 corners, not the measured
+        # round-8 dead end (a per-PAIR higher-order fold, see note above
+        # decluster_distributed): pair rows pay 4 scalar comparisons.
+        .withColumn(
+            "rect",
+            (F.size("corners") == 4)
+            & (F.size(F.array_distinct("corners")) == 4)
+            & (F.col("blat_lo") < F.col("blat_hi"))
+            & (F.col("blon_lo") < F.col("blon_hi"))
+            & F.expr(
+                "forall(corners, c -> (c[0] = blat_lo OR c[0] = blat_hi) "
+                "AND (c[1] = blon_lo OR c[1] = blon_hi))"
+            )
+            & F.expr(
+                "forall(sequence(0, 3), i -> "
+                "(corners[i][0] = corners[(i + 1) % 4][0]) != "
+                "(corners[i][1] = corners[(i + 1) % 4][1]))"
+            ),
+        )
         .withColumn(
             "prio",
             F.row_number().over(Window.orderBy(F.col("mag").desc(), F.col("evid"))),
@@ -782,6 +821,11 @@ def decluster_distributed(
             F.col("clon").alias("k_clon"),
             F.col("rad_km").alias("k_rad_km"),
             F.col("rmin_km").alias("k_rmin_km"),
+            F.col("blat_lo").alias("k_blat_lo"),
+            F.col("blat_hi").alias("k_blat_hi"),
+            F.col("blon_lo").alias("k_blon_lo"),
+            F.col("blon_hi").alias("k_blon_hi"),
+            F.col("rect").alias("k_rect"),
         )
         .withColumn("k_win", window_s)
         .withColumn("band", F.floor(F.col("k_mag") / band_w).cast("int"))
@@ -948,6 +992,84 @@ def decluster_distributed(
         .filter(
             F.col("_hav") <= F.lit(crjb_cutoff_km) + F.col("k_rad_km") + F.lit(0.5)
         )
+        # AABB-distance REJECT (round-11): every kernel distance target
+        # (the resampled boundary ⊆ polygon ⊆ its lat/lon AABB), so
+        # d(j, AABB) lower-bounds the kernel CRJB, and PIP is false
+        # whenever j is outside the AABB — a pair with
+        # d(j, AABB) > cutoff is provably ineligible. Term-by-term lower
+        # bound on the haversine 'a' against ANY box point q:
+        # Δφ ≥ clamped lat offset (sin² monotone on [0°, 180°]);
+        # cos φ_q ≥ the box lat range's MIN cos (interval min at an
+        # endpoint, cos unimodal — tests: the cutoff-ring fence fails on
+        # a max-cos mixup); the lon term takes min(sin²) at the offset
+        # interval's ENDPOINTS — sin²(Δλ/2) is unimodal with its max at
+        # 180°, so the interval minimum sits at an endpoint, which keeps
+        # the bound valid even for antimeridian-scale offsets. This
+        # kills the annulus mass the centroid-circumradius prefilter
+        # keeps (everything between the box ⊕ cutoff rectangle and the
+        # circumcircle ⊕ cutoff disc) before the pair exchange, the
+        # partition sort, the Arrow transfer and the kernel. The 1e-6 km
+        # margin keeps float-boundary pairs on the kernel path.
+        .filter(
+            2.0
+            * EARTH_RADIUS_KM
+            * F.asin(
+                F.sqrt(
+                    F.least(
+                        F.lit(1.0),
+                        F.pow(
+                            F.sin(
+                                F.radians(
+                                    F.greatest(
+                                        F.lit(0.0),
+                                        F.col("k_blat_lo") - F.col("j_lat"),
+                                        F.col("j_lat") - F.col("k_blat_hi"),
+                                    )
+                                )
+                                / 2
+                            ),
+                            2,
+                        )
+                        + F.cos(F.radians("j_lat"))
+                        * F.greatest(
+                            F.lit(0.0),
+                            F.least(
+                                F.cos(F.radians("k_blat_lo")),
+                                F.cos(F.radians("k_blat_hi")),
+                            ),
+                        )
+                        * F.least(
+                            F.pow(
+                                F.sin(
+                                    F.radians(
+                                        F.greatest(
+                                            F.lit(0.0),
+                                            F.col("k_blon_lo") - F.col("j_lon"),
+                                            F.col("j_lon") - F.col("k_blon_hi"),
+                                        )
+                                    )
+                                    / 2
+                                ),
+                                2,
+                            ),
+                            F.pow(
+                                F.sin(
+                                    F.radians(
+                                        F.greatest(
+                                            F.abs(F.col("j_lon") - F.col("k_blon_lo")),
+                                            F.abs(F.col("j_lon") - F.col("k_blon_hi")),
+                                        )
+                                    )
+                                    / 2
+                                ),
+                                2,
+                            ),
+                        ),
+                    )
+                )
+            )
+            <= F.lit(crjb_cutoff_km) + F.lit(1e-6)
+        )
         # Auto-accept side of the two-sided bound: corners are members of
         # the resampled boundary point set, so CRJB ≤ d_centroid + r_min
         # by the spherical triangle inequality — d ≤ cutoff − r_min
@@ -961,8 +1083,25 @@ def decluster_distributed(
         # construction.
         .withColumn(
             "_auto",
-            F.col("_hav")
-            <= F.lit(crjb_cutoff_km) - F.col("k_rmin_km") - F.lit(1e-6),
+            (
+                F.col("_hav")
+                <= F.lit(crjb_cutoff_km) - F.col("k_rmin_km") - F.lit(1e-6)
+            )
+            # Rectangle-interior accept (round-11): a strictly interior
+            # point of an axis-aligned rectangle ring is inside by the
+            # kernel's ray cast bit-exactly (see the `rect` column note
+            # on e), and inside means CRJB = 0 ≤ cutoff — eligible with
+            # no kernel call. On mag-scaled rupture squares LARGER than
+            # the cutoff (where d + r_min can never fire) this absorbs
+            # the dense near-field pair mass instead: 4 scalar
+            # comparisons per pair, no per-pair corner fold.
+            | (
+                F.col("k_rect")
+                & (F.col("j_lat") > F.col("k_blat_lo"))
+                & (F.col("j_lat") < F.col("k_blat_hi"))
+                & (F.col("j_lon") > F.col("k_blon_lo"))
+                & (F.col("j_lon") < F.col("k_blon_hi"))
+            ),
         )
         # NARROW pair rows: only what the eligibility kernel reads plus
         # what the fixpoint keeps — two int prios, two mags, the target

@@ -200,6 +200,86 @@ def test_distributed_matches_sequential_high_latitude_mixed_polygons(spark):
         ) == _partitions(evids, c_seq), f"seed {seed}: partitions diverge"
 
 
+def test_distributed_cutoff_ring_targets_high_latitude(spark):
+    """Adversarial sweep across the eligibility BOUNDARY where the
+    round-11 SQL box-distance reject is least forgiving: one mag-6.6
+    claimer at lat −70 with a 0.3°-tall rupture square, and a fence of
+    small targets due east whose exact CRJB values straddle the 10 km
+    cutoff at ~8 m spacing. Any conservatism error in the pair-level
+    bounds (e.g. taking the box lat range's MAX cosine instead of its
+    MIN in the lower-bound 'a' — a ~1.4% lon-term inflation at this
+    latitude and box height, which silently drops just-inside-cutoff
+    pairs) flips flags here; the random high-latitude test cannot land
+    targets inside that ~100 m sliver reliably. Distributed flags must
+    equal the independent sequential greedy's bit-for-bit."""
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    t0 = _epoch("2020-01-01T00:00:00")
+    lat0, lon0 = -70.0, 160.0
+    h = 0.15  # box half-extent in degrees, both axes
+    deg_per_km_lon = 1.0 / (111.195 * math.cos(math.radians(lat0)))
+    events = [
+        {
+            "evid": "main",
+            "datetime": t0,
+            "mag": 6.6,
+            "lat": lat0,
+            "lon": lon0,
+            "corners": [
+                (lat0 - h, lon0 - h),
+                (lat0 - h, lon0 + h),
+                (lat0 + h, lon0 + h),
+                (lat0 + h, lon0 - h),
+            ],
+        }
+    ]
+    # 80 targets due east of the box's east edge, nominal boundary
+    # distances 9.7 .. 10.3 km (true discrete-boundary CRJB lands within
+    # a few meters of nominal here) — ~40 on each side of the cutoff.
+    # Magnitudes increase strictly WITH TIME so no target can claim
+    # another (claim windows are forward-only and only ≤-mag events are
+    # claimable): every flag is decided solely by the main-box pair,
+    # which is the pair the bounds must classify correctly — an 8 m
+    # fence of equal magnitudes would chain-claim itself and mask a
+    # dropped main pair.
+    for i in range(80):
+        d_km = 9.7 + 0.6 * i / 79.0
+        lon = lon0 + h + d_km * deg_per_km_lon
+        events.append(
+            {
+                "evid": f"t{i:03d}",
+                "datetime": t0 + (i + 1) * 3600.0,
+                "mag": 4.0 + 0.005 * i,
+                "lat": lat0,
+                "lon": lon,
+                "corners": _square(lat0, lon, side_km=1.0),
+            }
+        )
+    a_seq, c_seq = decluster_catalog(events, crjb_cutoff_km=10.0)
+    # the fence must actually straddle the boundary, or this test is
+    # vacuous — both flag values must occur among the targets
+    assert 10 < sum(a_seq) < 75, f"fence degenerate: {sum(a_seq)} claimed"
+
+    df = spark.createDataFrame(
+        [
+            (e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"])
+            for e in events
+        ],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: e["corners"] for e in events}
+    out = decluster_distributed(df, corners, crjb_cutoff_km=10.0)
+    got = {r.evid: r for r in out.collect()}
+    evids = [e["evid"] for e in events]
+    assert [got[e].aftershock_flag for e in evids] == a_seq, (
+        "cutoff-ring flags diverge — a pair-level bound is over-rejecting "
+        "or over-accepting at the eligibility boundary"
+    )
+    assert _partitions(evids, [got[e].cluster_evid for e in evids]) == _partitions(
+        evids, c_seq
+    )
+
+
 def test_distributed_all_singleton_catalog(spark):
     # ADVICE r1: a catalog where no event claims another (sparse region /
     # small cutoff) used to crash building the has_claims frame from an

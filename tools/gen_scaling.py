@@ -119,6 +119,11 @@ def _decluster_row(
         "crjb_udf_core_s": stats.get("crjb_udf_core_s"),
         "t_phase_a": stats.get("t_phase_a"),
         "t_b2": stats.get("t_b2"),
+        # round-11: how much the SQL bounds absorb — prefilter = rows
+        # that reached the Arrow stage, auto = rows the two-sided bound
+        # (d+r_min disc / rectangle-interior) accepted kernel-free
+        "pairs_prefilter": stats.get("pairs_prefilter"),
+        "pairs_auto_accepted": stats.get("pairs_auto_accepted"),
     }
 
 
@@ -169,6 +174,27 @@ def main() -> None:
                 times.append(time.monotonic() - t0)
             results.setdefault(name, {})[sf] = (statistics.median(times), rows)
             print(f"  {sf} {name}: {statistics.median(times):.2f}s ({rows} rows)")
+    # round-11: the reshaped corpus ops + the Hamming search carry
+    # envelope pins in tests/test_properties.py (derived from the honest
+    # local[4] probe, tools/measure_envelopes.py); probe them at sf0.1
+    # here too so the envelope table documents every pinned row.
+    for name in (
+        "text_entropy_score",
+        "text_repetition_signals",
+        "text_cdc_chunks",
+        "text_duplicate_spans",
+        "text_bigram_perplexity",
+        "dedup_simhash_hamming",
+    ):
+        if name in mem:
+            continue
+        spec = reg[name]
+        run_full(spec.fn(spark, sfs["sf0.1"]))  # warm
+        probe = StageMemoryProbe(spark)
+        with probe:
+            run_full(spec.fn(spark, sfs["sf0.1"]))
+        mem[name] = probe.result
+        print(f"  envelope {name}: {mem[name].get('peak_exec_mem', 0)}")
     sf_names = list(sfs)
     try:
         _l1, _l5, _l15 = os.getloadavg()
