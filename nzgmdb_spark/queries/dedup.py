@@ -1503,8 +1503,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_hamming_pairs(d: DataFrame) -> DataFrame:
-    """Manku 4-block pigeonhole Hamming-neighbor pairs over (doc_id, text)."""
+def simhash_blocks(d: DataFrame) -> DataFrame:
+    """48-bit TF-weighted simhash signatures exploded into the 4 Manku
+    pigeonhole blocks — the candidate-generation input of
+    simhash_hamming_pairs, exposed so tools/simhash_growth_probe.py can
+    measure block-bucket and candidate cardinality at scale."""
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -1547,7 +1550,7 @@ def simhash_hamming_pairs(d: DataFrame) -> DataFrame:
         ).alias("sh"),
     )
     mask = (1 << _SH_BLOCK_BITS) - 1
-    blocks = sig.select(
+    return sig.select(
         "doc_id",
         "sh",
         F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
@@ -1557,6 +1560,11 @@ def simhash_hamming_pairs(d: DataFrame) -> DataFrame:
         "blk",
         F.expr(f"(sh >> ({_SH_BLOCK_BITS} * blk)) & {mask}").alias("bv"),
     )
+
+
+def simhash_hamming_pairs(d: DataFrame) -> DataFrame:
+    """Manku 4-block pigeonhole Hamming-neighbor pairs over (doc_id, text)."""
+    blocks = simhash_blocks(d)
     # Hot-bucket-capped candidate generation (operators/lsh.py): a flood
     # of exact duplicates collides in ALL 4 blocks, so the naive
     # (blk, bv) self-join would emit ~2·B² pairs before distinct; the

@@ -669,6 +669,16 @@ _MEM_CEILINGS_MIB = {
     "s14_partitioned_sink_resume": 320,  # measured 129 MiB
     "t_daily_rollup": 160,          # measured 64 MiB
     "text_quality_score": 32,       # measured ~0 (map-only expressions)
+    # round-11 pins (VERDICT r10 ask #5): the round-10 reshaped corpus
+    # ops and the Hamming search — a regression back to their old shapes
+    # (join-based span/chunk streams, windowed entropy/repetition,
+    # uncapped block buckets) must trip HERE, not first at an sf10 probe.
+    "text_entropy_score": 32,        # measured ~0 (map-only fold, r11)
+    "text_repetition_signals": 32,   # measured ~0 (map-only fold, r11)
+    "text_cdc_chunks": 1024,         # measured 525 MiB (r11)
+    "text_duplicate_spans": 640,     # measured 257 MiB (r11)
+    "text_bigram_perplexity": 640,   # measured 281 MiB (r11)
+    "dedup_simhash_hamming": 640,    # measured 257 MiB (r11)
 }
 
 # Shuffle-WRITE ceilings (KiB), ~4× the measured sf0.1 bytes: the bytes a
@@ -696,6 +706,15 @@ _SHUFFLE_CEILINGS_KIB = {
     "s14_partitioned_sink_resume": 4,   # measured 0.3 KiB
     "t_daily_rollup": 32,           # measured 5.2 KiB
     "text_quality_score": 4,        # measured 0.1 KiB (map-only)
+    # round-11 pins — see the memory-ceiling comment above. The
+    # spans/cdc/hamming exchanges carry hashed keys / capped candidates
+    # BY DESIGN; a join-based or uncapped regression multiplies them.
+    "text_entropy_score": 4,         # measured 0.1 KiB (map-only fold)
+    "text_repetition_signals": 4,    # measured 0.1 KiB (map-only fold)
+    "text_cdc_chunks": 25_600,       # measured 6.2 MiB
+    "text_duplicate_spans": 13_312,  # measured 3.3 MiB (hashed span keys)
+    "text_bigram_perplexity": 768,   # measured 186 KiB (hashed LM keys)
+    "dedup_simhash_hamming": 14_336, # measured 3.4 MiB (capped candidates)
 }
 
 

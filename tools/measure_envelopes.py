@@ -27,6 +27,16 @@ QUERIES = [
     "s14_partitioned_sink_resume",
     "t_daily_rollup",
     "text_quality_score",
+    # round-11: the round-10 reshaped corpus ops + the Hamming search are
+    # pinned too, so a regression back to their old shapes (join-based
+    # span/chunk streams, windowed entropy/repetition, uncapped buckets)
+    # trips the envelope instead of only showing at an sf10 probe
+    "text_entropy_score",
+    "text_repetition_signals",
+    "text_cdc_chunks",
+    "text_duplicate_spans",
+    "text_bigram_perplexity",
+    "dedup_simhash_hamming",
 ]
 
 

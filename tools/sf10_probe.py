@@ -164,6 +164,49 @@ def main() -> None:
         'stream divides across executors; under local pressure it degrades',
         'to spill, never OOM.',
         '',
+        'text_bigram_perplexity memory adjudication (round-11, VERDICT r10',
+        'ask #1): the 6.0 GiB sf10 peak is NOT data-proportional — the',
+        'stage-level profile (tools/query_stage_profile.py) puts it on the',
+        'final distinct-bigram aggregation, a stage that reads 74 MB of',
+        'map-side-combined partials and outputs 93,100 rows. A 93k-group',
+        "aggregate cannot need gigabytes of state; what the probe sums is",
+        "Spark's per-task execution-memory PAGE reservation, which is sized",
+        'from the heap (48 GiB / 32 cores → 64 MiB pages, ~64 tasks ≈ 6 GiB',
+        '"peak" of mostly-empty pages). Measured proof',
+        '(tools/memory_elasticity_probe.py text_bigram_perplexity 6g',
+        '.scale/sf10): under a 6 GiB heap the identical query returns the',
+        'identical 500,000 rows with peak exec mem 800 MiB and 0 B spilled —',
+        'the envelope shrinks 7.7× when the heap does, with nothing',
+        'spilling, so the plan holds no data-sized state anywhere. The',
+        'corpus-sized exchanges stay narrow by construction ((doc_id,',
+        'xxhash64) rows); the LM-side joins are broadcasts. Envelope pinned',
+        'at sf0.1 in tests/test_properties.py.',
+        '',
+        'dedup_simhash_hamming growth adjudication (round-11, VERDICT r10',
+        'ask #2): the 4.0× sf1→sf10 wall is candidate-cardinality driven,',
+        'measured by tools/simhash_growth_probe.py. At 10× docs',
+        '(50k→500k post-spread) the capped candidate pairs entering the',
+        'Hamming verify grow 17.2× (5,166,300 → 88,952,744; uncapped',
+        'would be 12.2M → 233.4M, the star cap cuts 2.6×) and output pairs',
+        'grow 6.0× (79,214 → 472,126). The super-linear candidate growth is',
+        "the corpus's geometry, not a plan defect: the synthetic vocabulary",
+        'is 3,100 tokens, so 48-bit TF-simhash signatures concentrate — ALL',
+        '16,384 possible 12-bit block buckets are occupied at sf10',
+        '(12,968/16,384 at sf1, max bucket 1148→1437), and with the bucket',
+        'key space exhausted, occupancy grows linearly in docs and pair mass',
+        'quadratically per bucket. Wall grows only 4.0× — SUB-candidate,',
+        "because the verify is a map-side popcount over the bucket join's",
+        'output. On a real web-scale corpus the documented 64-bit/6-block',
+        'production signature multiplies the bucket space by 2^16+, restoring',
+        'sub-linear candidate growth; on THIS corpus the measured wall',
+        "tracks candidate volume, which is the query's semantic.",
+        'Memory: the 5.9 GiB sf10 peak is heap-elastic, not required —',
+        'under a 6 GiB heap the identical 472,126 rows come back with',
+        '1.0 GiB spilled at comparable wall',
+        '(tools/memory_elasticity_probe.py dedup_simhash_hamming 6g):',
+        'degrade-to-spill, never OOM. Envelope pinned at sf0.1 in',
+        'tests/test_properties.py.',
+        '',
         'sf10 decluster (VERDICT r4 ask #4): the distributed fixpoint at the',
         '10M-event catalog, density-constant construction (Gutenberg-Richter',
         'magnitudes, span stretched to 30,000 days so the event rate matches',
