@@ -338,10 +338,10 @@ def main() -> None:
     )
     lines.append("")
     lines.append(
-        "| catalog | events | span | eligible pairs | aftershocks | "
+        "| catalog | events | span | eligible pairs | prefilter | auto-accepted | aftershocks | "
         "fixpoint rounds | wall s | pairs-pass s | crjb-udf core-s | fixpoint s | merge s |"
     )
-    lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     dc_points = [
         ("10k @ 30 d", "/root/testdata/sf0.01", 10_000, 1.0),
         ("100k @ 300 d", "/root/testdata/sf0.1", 100_000, 10.0),
@@ -352,6 +352,7 @@ def main() -> None:
         row = _decluster_row(spark, sf_dir, n_exp, stretch=stretch, gr_mags=True)
         lines.append(
             f"| {label} | {row['n']} | {int(30 * stretch)} d | {row['pairs']} | "
+            f"{row.get('pairs_prefilter')} | {row.get('pairs_auto_accepted')} | "
             f"{row['aftershocks']} | {row['rounds']} | {row['wall']:.1f} | "
             f"{row['t_pairs']:.1f} | {row['crjb_udf_core_s']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"

@@ -210,10 +210,16 @@ def main() -> None:
         'sf10 decluster (VERDICT r4 ask #4): the distributed fixpoint at the',
         '10M-event catalog, density-constant construction (Gutenberg-Richter',
         'magnitudes, span stretched to 30,000 days so the event rate matches',
-        'the 10k/30d baseline — how a real century-scale catalog grows):',
+        'the 10k/30d baseline — how a real century-scale catalog grows).',
+        'Round-11: two pair-level SQL bounds (AABB-distance reject +',
+        'rectangle-interior accept, operators/decluster.py) shrink the',
+        'pairs-pass at identical eligible pairs/flags/rounds — the prefilter',
+        'column now sits within a fraction of a percent of the eligible',
+        'column (the SQL reject is essentially tight) and the auto column',
+        'counts pairs proven eligible without the Arrow kernel:',
         '',
-        '| catalog | events | eligible pairs | fixpoint rounds | wall s | pairs-pass s | crjb-udf core-s | fixpoint s | merge s |',
-        '|---|---|---|---|---|---|---|---|---|',
+        '| catalog | events | eligible pairs | prefilter | auto-accepted | fixpoint rounds | wall s | pairs-pass s | crjb-udf core-s | fixpoint s | merge s |',
+        '|---|---|---|---|---|---|---|---|---|---|---|',
     ]
     import sys as _sys
     import traceback as _tb
@@ -251,7 +257,9 @@ def main() -> None:
             lines.append(f"| {label} | FAILED — rows truncated | | | | | | | |")
             break
         lines.append(
-            f"| {label} | {row['n']} | {row['pairs']} | {row['rounds']} | "
+            f"| {label} | {row['n']} | {row['pairs']} | "
+            f"{row.get('pairs_prefilter')} | {row.get('pairs_auto_accepted')} | "
+            f"{row['rounds']} | "
             f"{row['wall']:.1f} | {row['t_pairs']:.1f} | {row['crjb_udf_core_s']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
