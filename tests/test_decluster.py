@@ -280,6 +280,80 @@ def test_distributed_cutoff_ring_targets_high_latitude(spark):
     )
 
 
+def test_distributed_bowtie_polygon_not_rectangle_accepted(spark):
+    """The round-11 rectangle-interior accept must NOT fire for a BOWTIE
+    ring — a self-intersecting 4-corner polygon whose corners are exactly
+    the AABB's corners (so the extremes-only and distinctness checks both
+    pass) but whose edge order is non-axis-aligned. Ray casting classifies
+    the bowtie's triangle-gap regions as OUTSIDE, so a guard that flags it
+    as a rectangle would blanket-accept AABB-interior targets that the
+    sequential greedy leaves unclaimed (the AABB here is ~130 km wide vs
+    a 10 km cutoff — gap centers are far from every boundary point). A
+    target grid across the AABB makes any such divergence a flag flip."""
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    t0 = _epoch("2020-01-01T00:00:00")
+    lat0, lon0, h = -42.0, 172.0, 0.6
+    bowtie = [
+        (lat0 - h, lon0 - h),
+        (lat0 + h, lon0 + h),
+        (lat0 - h, lon0 + h),
+        (lat0 + h, lon0 - h),
+    ]
+    events = [
+        {
+            "evid": "main",
+            "datetime": t0,
+            "mag": 6.6,
+            "lat": lat0,
+            "lon": lon0,
+            "corners": bowtie,
+        }
+    ]
+    k = 0
+    for iy in range(9):
+        for ix in range(9):
+            lat = lat0 - h + (iy + 0.5) * (2 * h) / 9
+            lon = lon0 - h + (ix + 0.5) * (2 * h) / 9
+            events.append(
+                {
+                    "evid": f"g{k:03d}",
+                    "datetime": t0 + (k + 1) * 600.0,
+                    # strictly increasing with time: targets cannot claim
+                    # each other (see the cutoff-ring fence test)
+                    "mag": 4.0 + 0.005 * k,
+                    "lat": lat,
+                    "lon": lon,
+                    "corners": _square(lat, lon, side_km=1.0),
+                }
+            )
+            k += 1
+    a_seq, c_seq = decluster_catalog(events, crjb_cutoff_km=10.0)
+    n_claimed = sum(a_seq)
+    # non-vacuous: the grid must contain both claimed (inside/near the
+    # bowtie) and unclaimed (triangle-gap / far-corner) targets
+    assert 5 < n_claimed < 76, f"grid degenerate: {n_claimed} claimed"
+
+    df = spark.createDataFrame(
+        [
+            (e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"])
+            for e in events
+        ],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: e["corners"] for e in events}
+    out = decluster_distributed(df, corners, crjb_cutoff_km=10.0)
+    got = {r.evid: r for r in out.collect()}
+    evids = [e["evid"] for e in events]
+    assert [got[e].aftershock_flag for e in evids] == a_seq, (
+        "bowtie flags diverge — the rectangle guard accepted a "
+        "self-intersecting ring's AABB interior"
+    )
+    assert _partitions(evids, [got[e].cluster_evid for e in evids]) == _partitions(
+        evids, c_seq
+    )
+
+
 def test_distributed_all_singleton_catalog(spark):
     # ADVICE r1: a catalog where no event claims another (sparse region /
     # small cutoff) used to crash building the has_claims frame from an
