@@ -976,6 +976,12 @@ def decluster_distributed(
         F.floor(F.col("j_lat") / cell).alias("jcy"),
         F.floor(F.col("j_lon") / cell).alias("jcx"),
     )
+    # Circular lon-offset fold for the AABB reject's lon term: p is the
+    # target's offset past the box's low corner folded into [0, 360), w
+    # the box's lon width folded the same way — p ≤ w iff the target
+    # meridian crosses the box interval regardless of lon convention.
+    _lon_p = F.pmod(F.col("j_lon") - F.col("k_blon_lo"), F.lit(360.0))
+    _lon_w = F.pmod(F.col("k_blon_hi") - F.col("k_blon_lo"), F.lit(360.0))
     pairs_narrow = (
         k_cells.join(
             j_cells,
@@ -1001,10 +1007,15 @@ def decluster_distributed(
         # Δφ ≥ clamped lat offset (sin² monotone on [0°, 180°]);
         # cos φ_q ≥ the box lat range's MIN cos (interval min at an
         # endpoint, cos unimodal — tests: the cutoff-ring fence fails on
-        # a max-cos mixup); the lon term takes min(sin²) at the offset
-        # interval's ENDPOINTS — sin²(Δλ/2) is unimodal with its max at
-        # 180°, so the interval minimum sits at an endpoint, which keeps
-        # the bound valid even for antimeridian-scale offsets. This
+        # a max-cos mixup); the lon term folds the offset mod 360 FIRST
+        # (p = (j − lo) mod 360, w = (hi − lo) mod 360): p ≤ w means the
+        # target's meridian crosses the box (term 0), otherwise the
+        # circular distance to the nearer endpoint, min(p − w, 360 − p),
+        # lies in (0°, 180°] where sin²(Δλ/2) is monotone — so the bound
+        # is the EXACT interval minimum for any lon convention,
+        # antimeridian straddles included (a raw endpoint min would miss
+        # the interior minimum when the offset interval crosses 360°).
+        # This
         # kills the annulus mass the centroid-circumradius prefilter
         # keeps (everything between the box ⊕ cutoff rectangle and the
         # circumcircle ⊕ cutoff disc) before the pair exchange, the
@@ -1038,32 +1049,19 @@ def decluster_distributed(
                                 F.cos(F.radians("k_blat_hi")),
                             ),
                         )
-                        * F.least(
+                        * F.when(_lon_p <= _lon_w, F.lit(0.0)).otherwise(
                             F.pow(
                                 F.sin(
                                     F.radians(
-                                        F.greatest(
-                                            F.lit(0.0),
-                                            F.col("k_blon_lo") - F.col("j_lon"),
-                                            F.col("j_lon") - F.col("k_blon_hi"),
+                                        F.least(
+                                            _lon_p - _lon_w,
+                                            F.lit(360.0) - _lon_p,
                                         )
                                     )
                                     / 2
                                 ),
                                 2,
-                            ),
-                            F.pow(
-                                F.sin(
-                                    F.radians(
-                                        F.greatest(
-                                            F.abs(F.col("j_lon") - F.col("k_blon_lo")),
-                                            F.abs(F.col("j_lon") - F.col("k_blon_hi")),
-                                        )
-                                    )
-                                    / 2
-                                ),
-                                2,
-                            ),
+                            )
                         ),
                     )
                 )
@@ -1256,6 +1254,14 @@ def decluster_distributed(
             )
             if stats is not None:
                 stats.setdefault("round_live_edges", []).append(ep.count())
+        elif prune_edges and rounds_a == 1 and stats is not None:
+            # The round-1 prune is the provable no-op skipped above, but
+            # the STATS entry must not be skipped with it: append the
+            # unpruned live-edge count (ep == ep0, a filter-count over the
+            # checkpointed pairs, stats mode only) so round_live_edges[i]
+            # stays aligned 1:1 with round i+1 for every consumer that
+            # zips it against round_undecided.
+            stats.setdefault("round_live_edges", []).append(ep.count())
     else:
         # The in-loop check runs before each update, so a run that converges
         # exactly on round max_rounds' update lands here with a complete

@@ -254,7 +254,9 @@ def main() -> None:
             _tb.print_exc()
             # record the truncation in the persisted section so the
             # checkpoint file never presents a partial table as complete
-            lines.append(f"| {label} | FAILED — rows truncated | | | | | | | |")
+            lines.append(
+                f"| {label} | FAILED — rows truncated | | | | | | | | | |"
+            )
             break
         lines.append(
             f"| {label} | {row['n']} | {row['pairs']} | "
