@@ -78,32 +78,114 @@ def _point_in_polygon(lat: float, lon: float, corners: list[tuple[float, float]]
     return inside
 
 
-import functools
+from collections import OrderedDict
+
+_BOUNDARY_CACHE: OrderedDict = OrderedDict()
+_BOUNDARY_CACHE_MAX = 4096
 
 
-@functools.lru_cache(maxsize=4096)
+def _build_boundaries(polys: list[tuple], spacing_km: float) -> list[tuple]:
+    """(phi, lam, cos_phi, max_step_km) for MANY polygons in one pass,
+    batch-built per step-count SIGNATURE: polygons whose edges resample
+    into the same per-edge step counts (the common case — a catalog's
+    mag-scaled squares at similar latitudes) share one (npolys × nboundary)
+    construction, so the per-polygon numpy dispatch (arange/concat/trig ×
+    every claimer of a 10M-event catalog — the measured cost after the
+    pair kernel itself was batched) is paid once per signature. Per-edge
+    points, radians, and the wrap-included max consecutive-step haversine
+    are the same IEEE double ops as the scalar build, elementwise, so
+    every output is bit-identical; the measured step keeps
+    crjb_eligible_vec's reject-bound cover provably safe for ANY polygon
+    (the resample interpolates lat/lon linearly, so per-step arc length
+    only approximates spacing_km; a fixed fudge factor would be unsound
+    for very long segments at high latitude)."""
+    out: list = [None] * len(polys)
+    groups: dict[tuple, list[int]] = {}
+    for i, c in enumerate(polys):
+        n = len(c)
+        sig = tuple(
+            max(
+                1,
+                int(
+                    math.ceil(
+                        _haversine_km(
+                            c[k][0], c[k][1], c[(k + 1) % n][0], c[(k + 1) % n][1]
+                        )
+                        / spacing_km
+                    )
+                ),
+            )
+            for k in range(n)
+        )
+        groups.setdefault(sig, []).append(i)
+    for sig, idxs in groups.items():
+        corner_arr = np.asarray([polys[i] for i in idxs])  # (P, n, 2)
+        n = len(sig)
+        lat_parts, lon_parts = [], []
+        for k in range(n):
+            a = corner_arr[:, k]
+            b = corner_arr[:, (k + 1) % n]
+            t = np.arange(sig[k]) / sig[k]
+            lat_parts.append(a[:, 0][:, None] + t[None, :] * (b[:, 0] - a[:, 0])[:, None])
+            lon_parts.append(a[:, 1][:, None] + t[None, :] * (b[:, 1] - a[:, 1])[:, None])
+        phi = np.radians(np.concatenate(lat_parts, axis=1))
+        lam = np.radians(np.concatenate(lon_parts, axis=1))
+        cphi = np.cos(phi)
+        # consecutive-step haversines, wrap included (last point -> first)
+        p2 = np.concatenate([phi[:, 1:], phi[:, :1]], axis=1)
+        l2 = np.concatenate([lam[:, 1:], lam[:, :1]], axis=1)
+        a_ = np.sin((p2 - phi) / 2.0) ** 2 + cphi * np.cos(p2) * np.sin(
+            (l2 - lam) / 2.0
+        ) ** 2
+        max_steps = 2.0 * EARTH_RADIUS_KM * np.max(
+            np.arcsin(np.sqrt(np.minimum(a_, 1.0))), axis=1
+        )
+        for r, i in enumerate(idxs):
+            # copies, not views: a cached row must not pin its whole
+            # signature-group parent array past eviction
+            out[i] = (
+                phi[r].copy(),
+                lam[r].copy(),
+                cphi[r].copy(),
+                float(max_steps[r]),
+            )
+    return out
+
+
+def _boundary_cache_put(key: tuple, val: tuple) -> None:
+    _BOUNDARY_CACHE[key] = val
+    if len(_BOUNDARY_CACHE) > _BOUNDARY_CACHE_MAX:
+        _BOUNDARY_CACHE.popitem(last=False)
+
+
 def _boundary_rad(corners_t: tuple, spacing_km: float):
-    """Resampled boundary as numpy radian arrays (phi, lam, cos_phi) plus
-    the MEASURED max consecutive-point step distance in km (including the
-    ring-closing wrap), cached per polygon — the resample + trig dominates
-    CRJB cost when the same rupture polygon is probed against many
-    centroids. The measured step makes crjb_eligible_vec's reject-bound
-    cover provably safe for ANY polygon (the resample interpolates lat/lon
-    linearly, so per-step arc length only approximates spacing_km; a fixed
-    1.05 fudge factor is unsound for very long segments at high latitude)."""
-    b = np.asarray(resample_polygon_km(list(corners_t), spacing_km))
-    phi = np.radians(b[:, 0])
-    lam = np.radians(b[:, 1])
-    cphi = np.cos(phi)
-    # consecutive-step haversines, wrap included (last point -> first)
-    p2, l2 = np.roll(phi, -1), np.roll(lam, -1)
-    a = np.sin((p2 - phi) / 2.0) ** 2 + cphi * np.cos(p2) * np.sin(
-        (l2 - lam) / 2.0
-    ) ** 2
-    max_step_km = float(
-        2.0 * EARTH_RADIUS_KM * np.max(np.arcsin(np.sqrt(np.minimum(a, 1.0))))
-    ) if a.size else 0.0
-    return phi, lam, cphi, max_step_km
+    """Cached resampled boundary for ONE polygon (see _build_boundaries).
+    The cache is shared with _boundary_rad_many so the scalar kernels and
+    the batched pair stream never rebuild each other's polygons."""
+    key = (corners_t, spacing_km)
+    hit = _BOUNDARY_CACHE.get(key)
+    if hit is None:
+        hit = _build_boundaries([corners_t], spacing_km)[0]
+        _boundary_cache_put(key, hit)
+    return hit
+
+
+def _boundary_rad_many(polys: list[tuple], spacing_km: float) -> list[tuple]:
+    """Cache-aware batch variant of _boundary_rad: misses are built
+    together in _build_boundaries (one numpy pass per step signature)."""
+    out: list = []
+    miss: list[int] = []
+    for i, p in enumerate(polys):
+        hit = _BOUNDARY_CACHE.get((p, spacing_km))
+        out.append(hit)
+        if hit is None:
+            miss.append(i)
+    if miss:
+        built = _build_boundaries([polys[i] for i in miss], spacing_km)
+        for i, b in zip(miss, built):
+            out[i] = b
+            _boundary_cache_put((polys[i], spacing_km), b)
+    return out
 
 
 def _points_in_polygon(lats: np.ndarray, lons: np.ndarray, corners) -> np.ndarray:
@@ -218,6 +300,137 @@ def crjb_eligible_vec(
         if gray.size:
             elig[gray] = _min_d(phi[gray], lam[gray], slice(None)) <= cutoff_km
     return elig
+
+
+def crjb_eligible_grouped(
+    lats: np.ndarray,
+    lons: np.ndarray,
+    codes: np.ndarray,
+    polys: list[tuple],
+    cutoff_km: float,
+    spacing_km: float = 1.0,
+) -> np.ndarray:
+    """crjb_eligible_vec verdicts for pairs spanning MANY polygons in one
+    vectorized pass: pair ``i`` is scored against ``polys[codes[i]]``.
+
+    Same coarse-to-fine tiers and bit-identical per-element arithmetic as
+    the per-polygon kernel (subset accept → ray-cast inside → cover
+    reject → full matrix on the gray ring), but batched ACROSS polygons
+    with stacked boundary arrays — each polygon's row padded by repeating
+    its own first sample, and a duplicate of a real sample never changes
+    a min. The motivation is dispatch overhead, not flops: decluster
+    claim groups average ~10 pairs, so the per-claimer loop paid tens of
+    numpy calls per tiny group (~40 µs/pair measured at the 10M catalog)
+    while the subset matrix itself is ~24 elements/pair. Polygons too
+    small to tier (stride ≤ 2) keep the per-polygon scalar path, whose
+    subset would be most of its matrix anyway. Verdict equality with the
+    per-group loop is pinned in tests/test_decluster.py."""
+    m = int(lats.shape[0])
+    out = np.zeros(m, dtype=bool)
+    if m == 0:
+        return out
+    n_u = len(polys)
+    binfo = _boundary_rad_many(polys, spacing_km)
+    strides = [max(1, b[0].size // 24) for b in binfo]
+    tiny_u = [u for u in range(n_u) if strides[u] <= 2]
+    if tiny_u:
+        for u in tiny_u:
+            sel = np.flatnonzero(codes == u)
+            if sel.size:
+                out[sel] = crjb_eligible_vec(
+                    lats[sel], lons[sel], polys[u], cutoff_km, spacing_km
+                )
+        idx = np.flatnonzero(~np.isin(codes, np.asarray(tiny_u)))
+        if idx.size == 0:
+            return out
+    else:
+        idx = np.arange(m)
+
+    # Stacked subset boundaries over the batch's polygons (tiny rows are
+    # built too — they are never indexed — to keep the row ids = codes).
+    subs = [
+        (b[0][::s], b[1][::s], b[2][::s]) for b, s in zip(binfo, strides)
+    ]
+    s_max = max(sp.size for sp, _, _ in subs)
+    sub_phi = np.empty((n_u, s_max))
+    sub_lam = np.empty((n_u, s_max))
+    sub_cos = np.empty((n_u, s_max))
+    for u, (sp, sl, sc) in enumerate(subs):
+        k = sp.size
+        sub_phi[u, :k], sub_phi[u, k:] = sp, sp[0]
+        sub_lam[u, :k], sub_lam[u, k:] = sl, sl[0]
+        sub_cos[u, :k], sub_cos[u, k:] = sc, sc[0]
+
+    c = codes[idx]
+    phi = np.radians(lats[idx])
+    lam = np.radians(lons[idx])
+    a = (
+        np.sin((sub_phi[c] - phi[:, None]) / 2.0) ** 2
+        + np.cos(phi)[:, None]
+        * sub_cos[c]
+        * np.sin((sub_lam[c] - lam[:, None]) / 2.0) ** 2
+    )
+    d_sub = 2.0 * EARTH_RADIUS_KM * np.arcsin(
+        np.sqrt(np.minimum(np.min(a, axis=1), 1.0))
+    )
+    elig = d_sub <= cutoff_km  # exact accept: d_full <= d_sub
+    und = np.flatnonzero(~elig)
+    if und.size:
+        uc = c[und]
+        # Ray-cast inside test, bucketed by corner COUNT (corner rows
+        # cannot be padded — extra edges would change the cast) and
+        # vectorized across pairs within a bucket, edge order preserved.
+        nc_by_u = np.fromiter((len(p) for p in polys), dtype=np.int64, count=n_u)
+        inside = np.zeros(und.size, dtype=bool)
+        y_p = lats[idx][und]
+        x_p = lons[idx][und]
+        for nc in np.unique(nc_by_u[uc]):
+            sel = np.flatnonzero(nc_by_u[uc] == nc)
+            uu, inv = np.unique(uc[sel], return_inverse=True)
+            cy = np.asarray([[polys[u][i][0] for i in range(nc)] for u in uu])
+            cx = np.asarray([[polys[u][i][1] for i in range(nc)] for u in uu])
+            ys, xs = y_p[sel], x_p[sel]
+            ins = np.zeros(sel.size, dtype=bool)
+            for i in range(nc):
+                y1, x1 = cy[inv, i], cx[inv, i]
+                y2, x2 = cy[inv, (i + 1) % nc], cx[inv, (i + 1) % nc]
+                crosses = (y1 > ys) != (y2 > ys)
+                if not crosses.any():
+                    continue
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    x_int = x1 + (ys - y1) / (y2 - y1) * (x2 - x1)
+                ins ^= crosses & (xs < x_int)
+            inside[sel] = ins
+        elig[und[inside]] = True
+        covers = np.asarray(
+            [(s * 0.5 + 1.0) * b[3] + 1e-6 for s, b in zip(strides, binfo)]
+        )
+        gray = und[~inside & (d_sub[und] - covers[uc] <= cutoff_km)]
+        if gray.size:
+            gc = c[gray]
+            guu, ginv = np.unique(gc, return_inverse=True)
+            b_max = max(binfo[u][0].size for u in guu)
+            g_phi = np.empty((guu.size, b_max))
+            g_lam = np.empty((guu.size, b_max))
+            g_cos = np.empty((guu.size, b_max))
+            for r, u in enumerate(guu):
+                bp, bl, bc, _ = binfo[u]
+                k = bp.size
+                g_phi[r, :k], g_phi[r, k:] = bp, bp[0]
+                g_lam[r, :k], g_lam[r, k:] = bl, bl[0]
+                g_cos[r, :k], g_cos[r, k:] = bc, bc[0]
+            ag = (
+                np.sin((g_phi[ginv] - phi[gray][:, None]) / 2.0) ** 2
+                + np.cos(phi[gray])[:, None]
+                * g_cos[ginv]
+                * np.sin((g_lam[ginv] - lam[gray][:, None]) / 2.0) ** 2
+            )
+            dg = 2.0 * EARTH_RADIUS_KM * np.arcsin(
+                np.sqrt(np.minimum(np.min(ag, axis=1), 1.0))
+            )
+            elig[gray] = dg <= cutoff_km
+    out[idx] = elig
+    return out
 
 
 def crjb_km(
@@ -599,14 +812,14 @@ def decluster_distributed(
             out = auto.copy()
             rest = np.flatnonzero(~auto)
             if rest.size:
+                # ONE grouped kernel call per batch (bit-equal to the
+                # per-claimer loop, see crjb_eligible_grouped): with ~10
+                # pairs per claim group, per-group numpy dispatch was the
+                # measured kernel cost at catalog scale, not the math.
                 codes, uniq = pd.factorize(kp[rest])
-                order = np.argsort(codes, kind="stable")
-                sc = codes[order]
-                starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-                ends = np.r_[starts[1:], sc.size]
-                for s, e0 in zip(starts, ends):
-                    idx = rest[order[s:e0]]
-                    kid = int(uniq[sc[s]])
+                plist = []
+                for kpv in uniq:
+                    kid = int(kpv)
                     key = polys.get(kid)
                     if key is None:
                         raise RuntimeError(
@@ -616,7 +829,10 @@ def decluster_distributed(
                     if not isinstance(key, tuple):
                         key = tuple(map(tuple, key))
                         polys[kid] = key
-                    out[idx] = crjb_eligible_vec(lats[idx], lons[idx], key, _cutoff)
+                    plist.append(key)
+                out[rest] = crjb_eligible_grouped(
+                    lats[rest], lons[rest], codes, plist, _cutoff
+                )
             if _acc_busy is not None:
                 _acc_rows.add(int(pr.size))
                 _acc_auto.add(int(auto.sum()))

@@ -769,3 +769,108 @@ def test_crjb_eligible_vec_exactly_matches_distance_kernel():
                     f"{kind} scale={scale_km} cutoff={cutoff}: "
                     f"{int((got != want).sum())}/{n} verdicts differ"
                 )
+
+
+def test_crjb_eligible_grouped_matches_per_polygon_loop():
+    """crjb_eligible_grouped (the batched-across-claimers kernel the pair
+    stream runs) must return EXACTLY the per-polygon crjb_eligible_vec
+    verdicts for every pair — mixed polygon kinds and sizes in one batch,
+    including tiny (stride ≤ 2) boundaries that take the scalar path and
+    pairs interleaved across polygons like a real shuffled batch."""
+    import random
+
+    import numpy as np
+
+    from nzgmdb_spark.operators.decluster import (
+        crjb_eligible_grouped,
+        crjb_eligible_vec,
+    )
+
+    rng = random.Random(20260817)
+    KM = 111.195
+
+    def _poly(kind, lat0, lon0, scale_km):
+        h = scale_km / KM
+        if kind == "square":
+            return ((lat0 - h, lon0 - h), (lat0 - h, lon0 + h),
+                    (lat0 + h, lon0 + h), (lat0 + h, lon0 - h))
+        if kind == "rect":
+            return ((lat0 - h, lon0 - 3 * h), (lat0 - h, lon0 + 3 * h),
+                    (lat0 + h, lon0 + 3 * h), (lat0 + h, lon0 - 3 * h))
+        pts = []
+        for i in range(6):
+            ang = 2 * math.pi * i / 6 + 0.2
+            r = h * (0.3 if i == 2 else rng.uniform(0.7, 1.3))
+            pts.append((lat0 + r * math.sin(ang), lon0 + r * math.cos(ang)))
+        return tuple(pts)
+
+    polys = []
+    pair_lats, pair_lons, pair_codes = [], [], []
+    kinds = ("square", "rect", "hex")
+    scales = (1.0, 2.0, 15.0, 40.0)  # 1-2 km perimeters hit the tiny path
+    for u in range(24):
+        lat0 = rng.uniform(-55.0, 55.0)
+        lon0 = rng.uniform(-170.0, 170.0)
+        scale_km = scales[u % len(scales)]
+        polys.append(_poly(kinds[u % 3], lat0, lon0, scale_km))
+        for _ in range(rng.randint(1, 40)):
+            pair_lats.append(lat0 + rng.uniform(-1.0, 1.0) * (scale_km + 25.0) / KM)
+            pair_lons.append(lon0 + rng.uniform(-1.0, 1.0) * (scale_km + 25.0) / KM)
+            pair_codes.append(u)
+    # shuffle so codes interleave across polygons like a real batch
+    order = list(range(len(pair_codes)))
+    rng.shuffle(order)
+    lats = np.array([pair_lats[i] for i in order])
+    lons = np.array([pair_lons[i] for i in order])
+    codes = np.array([pair_codes[i] for i in order])
+
+    for cutoff in (5.0, 10.0):
+        got = crjb_eligible_grouped(lats, lons, codes, polys, cutoff)
+        want = np.zeros(lats.size, dtype=bool)
+        for u, corners in enumerate(polys):
+            sel = np.flatnonzero(codes == u)
+            want[sel] = crjb_eligible_vec(lats[sel], lons[sel], corners, cutoff)
+        assert (got == want).all(), (
+            f"cutoff={cutoff}: {int((got != want).sum())}/{lats.size} "
+            "grouped verdicts differ from the per-polygon loop"
+        )
+
+
+def test_build_boundaries_bit_identical_to_scalar_resample():
+    """_build_boundaries (the signature-grouped batch boundary builder)
+    must emit bit-identical radian points, cos values, and max-step to
+    the scalar resample_polygon_km loop — for a MIXED batch so the
+    signature grouping itself is exercised (two same-signature squares
+    share one group; the pentagon and antimeridian box each get their
+    own)."""
+    import numpy as np
+
+    from nzgmdb_spark.operators.decluster import (
+        EARTH_RADIUS_KM,
+        _build_boundaries,
+        resample_polygon_km,
+    )
+
+    polys = (
+        ((-40.1, 173.9), (-40.1, 174.2), (-39.8, 174.2), (-39.8, 173.9)),
+        ((-40.1, 173.4), (-40.1, 173.7), (-39.8, 173.7), (-39.8, 173.4)),
+        ((-45.0, 166.5), (-44.7, 167.2), (-44.9, 167.9), (-45.3, 167.1),
+         (-45.2, 166.6)),
+        ((10.0, -179.9), (10.0, 179.7), (10.3, 179.7), (10.3, -179.9)),
+    )
+    built = _build_boundaries(list(polys), 1.0)
+    for corners, (phi, lam, cphi, max_step) in zip(polys, built):
+        b = np.asarray(resample_polygon_km(list(corners)))
+        w_phi, w_lam = np.radians(b[:, 0]), np.radians(b[:, 1])
+        assert (phi == w_phi).all() and (lam == w_lam).all()
+        assert (cphi == np.cos(w_phi)).all()
+        p2, l2 = np.roll(w_phi, -1), np.roll(w_lam, -1)
+        a = np.sin((p2 - w_phi) / 2.0) ** 2 + np.cos(w_phi) * np.cos(
+            p2
+        ) * np.sin((l2 - w_lam) / 2.0) ** 2
+        want_step = float(
+            2.0
+            * EARTH_RADIUS_KM
+            * np.max(np.arcsin(np.sqrt(np.minimum(a, 1.0))))
+        )
+        assert max_step == want_step
