@@ -766,8 +766,16 @@ def decluster_distributed(
         _acc_rows = spark.sparkContext.accumulator(0)
         _acc_auto = spark.sparkContext.accumulator(0)
         _acc_busy = spark.sparkContext.accumulator(0.0)
+        # busy is perf_counter WALL inside the batch body — on an
+        # oversubscribed host (32 workers + the JVM on 32 vCPUs with
+        # steal) it counts descheduled time as if it were compute, and
+        # measured runs swing 2-4x with load. cpu is process_time (the
+        # worker process's actual user+sys CPU): immune to descheduling,
+        # so it is THE cross-session-comparable kernel-cost number;
+        # busy - cpu is the contention tax.
+        _acc_cpu = spark.sparkContext.accumulator(0.0)
     else:
-        _acc_rows = _acc_auto = _acc_busy = None
+        _acc_rows = _acc_auto = _acc_busy = _acc_cpu = None
 
     def _emit(batches):
         # The pair stream ships NO nested corner payload: each claimer's
@@ -788,6 +796,7 @@ def decluster_distributed(
         polys: dict = {}
         for pdf in batches:
             _tb = _time.perf_counter()
+            _tc = _time.process_time()
             jp_all = pdf["j_prio"].to_numpy(dtype="float64", na_value=np.nan)
             poly_mask = np.isnan(jp_all)
             if poly_mask.any():
@@ -801,6 +810,7 @@ def decluster_distributed(
             if pr.size == 0:
                 if _acc_busy is not None:
                     _acc_busy.add(_time.perf_counter() - _tb)
+                    _acc_cpu.add(_time.process_time() - _tc)
                 continue
             kp = pdf["k_prio"].to_numpy()[pr]
             lats = pdf["j_lat"].to_numpy(dtype=float)[pr]
@@ -837,6 +847,7 @@ def decluster_distributed(
                 _acc_rows.add(int(pr.size))
                 _acc_auto.add(int(auto.sum()))
                 _acc_busy.add(_time.perf_counter() - _tb)
+                _acc_cpu.add(_time.process_time() - _tc)
             sel = np.flatnonzero(out)
             yield pd.DataFrame(
                 {
@@ -1376,6 +1387,7 @@ def decluster_distributed(
         stats["pairs_prefilter"] = _acc_rows.value
         stats["pairs_auto_accepted"] = _acc_auto.value
         stats["crjb_udf_core_s"] = round(_acc_busy.value, 3)
+        stats["crjb_udf_cpu_s"] = round(_acc_cpu.value, 3)
     _mark("t_pairs")
     if prune_edges is None:
         # Per-round edge pruning pays for itself (two semi-joins + a

@@ -117,6 +117,11 @@ def _decluster_row(
         "t_prep": stats.get("t_prep"),
         "t_pairs": stats.get("t_pairs"),
         "crjb_udf_core_s": stats.get("crjb_udf_core_s"),
+        # process_time twin of the busy column: actual worker CPU, immune
+        # to the oversubscription/steal descheduling that makes the
+        # perf_counter busy number swing 2-4x with host load — the
+        # cross-session-comparable kernel cost (round-12)
+        "crjb_udf_cpu_s": stats.get("crjb_udf_cpu_s"),
         "t_phase_a": stats.get("t_phase_a"),
         "t_b2": stats.get("t_b2"),
         # round-11: how much the SQL bounds absorb — prefilter = rows
