@@ -92,21 +92,18 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _duplicate_spans(spark, sf_dir, hashed=True)
 
 
-def _duplicate_spans(
-    spark: SparkSession, sf_dir: str, hashed: bool
-) -> DataFrame:
-    from nzgmdb_spark.queries.dedup import _tokenized_docs
-
-    toks = _tokenized_docs(spark, sf_dir)
-    # The span key: hashed = xxhash64 of the window string, computed
-    # map-side inside the explode lambda so the raw text never reaches
-    # an exchange; text = the window string itself (the oracle's shape).
+def _span_stream(toks: DataFrame, hashed: bool) -> DataFrame:
+    """The (doc_id, s) span stream both the query and the growth probe
+    read: every _SPAN_K-token window at stride 1. The span key: hashed =
+    xxhash64 of the window string, computed map-side inside the explode
+    lambda so the raw text never reaches an exchange; text = the window
+    string itself (the oracle's shape). sequence() descends for stop <
+    start — guard short docs explicitly (DuckDB's generate_series is
+    simply empty there)."""
     span = f"array_join(slice(w, i, {_SPAN_K}), ' ')"
     if hashed:
         span = f"xxhash64({span})"
-    # sequence() descends for stop < start — guard short docs explicitly
-    # (DuckDB's generate_series is simply empty there).
-    spans = toks.filter(F.size("w") >= _SPAN_K).select(
+    return toks.filter(F.size("w") >= _SPAN_K).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -115,6 +112,14 @@ def _duplicate_spans(
             )
         ).alias("s"),
     )
+
+
+def _duplicate_spans(
+    spark: SparkSession, sf_dir: str, hashed: bool
+) -> DataFrame:
+    from nzgmdb_spark.queries.dedup import _tokenized_docs
+
+    spans = _span_stream(_tokenized_docs(spark, sf_dir), hashed)
     # Complement identity — no join back to the span stream: a span with
     # corpus-wide count 1 is owned by exactly one doc (min == its only
     # occurrence), so n_dup_spans = n_spans − #owned-singletons. The one
