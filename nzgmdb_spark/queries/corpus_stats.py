@@ -565,44 +565,67 @@ GROUP BY c.doc_id
 """
 
 
+def _cdc_chunk_array(toks_raw: DataFrame) -> DataFrame:
+    """MAP-SIDE content-defined chunking: adds a ``chunks`` column
+    (array<struct<chunk_idx, s, n_tok>>) to a (doc_id, w: array<string>)
+    relation. CDC chunking is doc-LOCAL — a boundary token (md5 hash ≡ 0
+    mod _CDC_MOD) closes its chunk, so the chunk list is a pure function
+    of the row's own token array. The boundary positions come from one
+    ``filter`` over the positions, each chunk is a ``slice`` between
+    consecutive boundaries (with the tail closed at the last token), and
+    chunk_idx = k − 1 reproduces the running-boundary-count id of the
+    windowed form exactly. The previous shape exploded to token rows and
+    paid a corpus-wide window sort plus a collect_list regroup — three
+    corpus-sized exchanges and the repo's largest sf10 memory peak
+    (12.5 GiB) for arithmetic that never needed a token to leave its
+    row. Rows with empty/null token arrays are dropped, matching the
+    old posexplode behavior."""
+    bnd_i = (
+        "cast(conv(substring(md5(cast(concat('cdc_', element_at(w, i)) "
+        f"as binary)), 1, 8), 16, 10) as bigint) % {_CDC_MOD} = 0"
+    )
+    return (
+        toks_raw.filter(F.size("w") >= 1)
+        .withColumn("_ends", F.expr(f"filter(sequence(1, size(w)), i -> {bnd_i})"))
+        .withColumn(
+            "_ends",
+            F.expr(
+                "case when size(_ends) > 0 and element_at(_ends, -1) = size(w) "
+                "then _ends else concat(_ends, array(size(w))) end"
+            ),
+        )
+        .withColumn(
+            "_starts",
+            F.expr(
+                "concat(array(1), "
+                "transform(slice(_ends, 1, size(_ends) - 1), e -> e + 1))"
+            ),
+        )
+        .withColumn(
+            "chunks",
+            F.expr(
+                "transform(sequence(1, size(_ends)), k -> struct("
+                "cast(k - 1 as bigint) as chunk_idx, "
+                "array_join(slice(w, element_at(_starts, k), "
+                "element_at(_ends, k) - element_at(_starts, k) + 1), ' ') as s, "
+                "cast(element_at(_ends, k) - element_at(_starts, k) + 1 "
+                "as bigint) as n_tok))"
+            ),
+        )
+        .drop("_ends", "_starts")
+    )
+
+
 def _cdc_chunk_rows(toks_raw: DataFrame) -> DataFrame:
     """(doc_id, chunk_idx, s, n_tok) content-defined chunks over a
     (doc_id, w: array<string>) relation — the testable core of
     text_cdc_chunks (the shift-robustness property test constructs its
-    own corpus)."""
-    bnd = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("cdc_"), F.col("tok")).cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % _CDC_MOD
-        == 0,
-        1,
-    ).otherwise(0)
-    toks = toks_raw.select(
-        "doc_id", F.posexplode("w").alias("pos0", "tok")
-    ).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok", bnd.alias("bnd")
-    )
-    cum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    chunked = toks.select(
-        "doc_id",
-        "pos",
-        "tok",
-        (F.sum("bnd").over(cum) - F.col("bnd")).cast("bigint").alias("chunk_idx"),
-    )
-    return chunked.groupBy("doc_id", "chunk_idx").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("s"),
-        F.count(F.lit(1)).alias("n_tok"),
+    own corpus). One row per chunk, exploded from the map-side chunk
+    array."""
+    return (
+        _cdc_chunk_array(toks_raw)
+        .select("doc_id", F.explode("chunks").alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.s", "c.n_tok")
     )
 
 
@@ -610,22 +633,24 @@ def _cdc_chunk_rows(toks_raw: DataFrame) -> DataFrame:
 def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nzgmdb_spark.queries.dedup import _tokenized_docs
 
-    chunks = _cdc_chunk_rows(_tokenized_docs(spark, sf_dir))
+    docs = _cdc_chunk_array(_tokenized_docs(spark, sf_dir))
     # Complement identity (the duplicate-spans trick): a chunk key with
     # corpus-wide count 1 has exactly one owning doc, so n_dup_chunks =
-    # n_chunks − #owned-singletons — ONE chunk-keyed shuffle feeding two
-    # doc-cardinality aggregates, instead of re-shuffling the whole chunk
-    # stream to join its counts back (that join held a 4.4 GiB sf10 peak).
+    # n_chunks − #owned-singletons — the chunk-keyed aggregate below is
+    # now the plan's ONLY corpus-sized exchange (per-doc chunk count and
+    # max length fall out of the map-side chunk array for free).
     singles = (
-        chunks.groupBy("s")
+        docs.select("doc_id", F.explode("chunks.s").alias("s"))
+        .groupBy("s")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("doc_id").alias("doc_id"))
         .filter(F.col("n_occ") == 1)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_single"))
     )
-    per_doc = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.max("n_tok").cast("bigint").alias("max_chunk_tokens"),
+    per_doc = docs.select(
+        "doc_id",
+        F.size("chunks").cast("bigint").alias("n_chunks"),
+        F.array_max("chunks.n_tok").alias("max_chunk_tokens"),
     )
     return per_doc.join(singles, "doc_id", "left").select(
         "doc_id",
