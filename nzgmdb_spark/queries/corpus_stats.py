@@ -580,39 +580,41 @@ def _cdc_chunk_array(toks_raw: DataFrame) -> DataFrame:
     (12.5 GiB) for arithmetic that never needed a token to leave its
     row. Rows with empty/null token arrays are dropped, matching the
     old posexplode behavior."""
+    # The boundary array must become a real ATTRIBUTE before any lambda
+    # indexes it: a withColumn alias gets INLINED by projection collapse,
+    # and an alias referenced inside a per-element lambda re-evaluates
+    # its whole tree (boundary filter + per-token md5) once per CHUNK —
+    # measured as 74 md5 copies in the optimized plan and an
+    # O(chunks × tokens) blow-up (sf10 wall 7.7 s → 264 s). The
+    # explode-of-a-one-element-array generator is the barrier: exactly
+    # one output row per input row, _ends evaluated once, and the chunk
+    # transform's element_at(_ends, k) is then O(1) attribute indexing.
+    # Boundary positions are confined to [1, n − 1] with position n
+    # always appended — identical to "a boundary token closes its chunk"
+    # because the last token closes the final chunk whether or not it
+    # hashes to a boundary.
     bnd_i = (
         "cast(conv(substring(md5(cast(concat('cdc_', element_at(w, i)) "
         f"as binary)), 1, 8), 16, 10) as bigint) % {_CDC_MOD} = 0"
     )
+    ends = (
+        "concat(if(size(w) < 2, array(), "
+        f"filter(sequence(1, size(w) - 1), i -> {bnd_i})), array(size(w)))"
+    )
+    start_k = "if(k = 0, 1, element_at(_ends, k) + 1)"
     return (
         toks_raw.filter(F.size("w") >= 1)
-        .withColumn("_ends", F.expr(f"filter(sequence(1, size(w)), i -> {bnd_i})"))
-        .withColumn(
-            "_ends",
-            F.expr(
-                "case when size(_ends) > 0 and element_at(_ends, -1) = size(w) "
-                "then _ends else concat(_ends, array(size(w))) end"
-            ),
-        )
-        .withColumn(
-            "_starts",
-            F.expr(
-                "concat(array(1), "
-                "transform(slice(_ends, 1, size(_ends) - 1), e -> e + 1))"
-            ),
-        )
+        .select("*", F.explode(F.array(F.expr(ends))).alias("_ends"))
         .withColumn(
             "chunks",
             F.expr(
-                "transform(sequence(1, size(_ends)), k -> struct("
-                "cast(k - 1 as bigint) as chunk_idx, "
-                "array_join(slice(w, element_at(_starts, k), "
-                "element_at(_ends, k) - element_at(_starts, k) + 1), ' ') as s, "
-                "cast(element_at(_ends, k) - element_at(_starts, k) + 1 "
-                "as bigint) as n_tok))"
+                "transform(_ends, (e, k) -> struct("
+                "cast(k as bigint) as chunk_idx, "
+                f"array_join(slice(w, {start_k}, e - {start_k} + 1), ' ') as s, "
+                f"cast(e - {start_k} + 1 as bigint) as n_tok))"
             ),
         )
-        .drop("_ends", "_starts")
+        .drop("_ends")
     )
 
 
@@ -633,24 +635,25 @@ def _cdc_chunk_rows(toks_raw: DataFrame) -> DataFrame:
 def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nzgmdb_spark.queries.dedup import _tokenized_docs
 
-    docs = _cdc_chunk_array(_tokenized_docs(spark, sf_dir))
+    chunks = _cdc_chunk_rows(_tokenized_docs(spark, sf_dir))
     # Complement identity (the duplicate-spans trick): a chunk key with
     # corpus-wide count 1 has exactly one owning doc, so n_dup_chunks =
-    # n_chunks − #owned-singletons — the chunk-keyed aggregate below is
-    # now the plan's ONLY corpus-sized exchange (per-doc chunk count and
-    # max length fall out of the map-side chunk array for free).
+    # n_chunks − #owned-singletons. Both aggregates read the EXPLODED
+    # chunk rows — not size()/array_max() over the chunks column, which
+    # projection collapse would inline into fresh evaluations of the
+    # whole fold — so the map-side chunk build runs once per branch and
+    # the chunk-keyed singleton count is the only corpus-sized exchange
+    # (the per-doc branch is map-side combined to one row per doc).
     singles = (
-        docs.select("doc_id", F.explode("chunks.s").alias("s"))
-        .groupBy("s")
+        chunks.groupBy("s")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("doc_id").alias("doc_id"))
         .filter(F.col("n_occ") == 1)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_single"))
     )
-    per_doc = docs.select(
-        "doc_id",
-        F.size("chunks").cast("bigint").alias("n_chunks"),
-        F.array_max("chunks.n_tok").alias("max_chunk_tokens"),
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("n_tok").cast("bigint").alias("max_chunk_tokens"),
     )
     return per_doc.join(singles, "doc_id", "left").select(
         "doc_id",
