@@ -344,7 +344,8 @@ def main() -> None:
     lines.append("")
     lines.append(
         "| catalog | events | span | eligible pairs | prefilter | auto-accepted | aftershocks | "
-        "fixpoint rounds | wall s | pairs-pass s | crjb-udf core-s | fixpoint s | merge s |"
+        "fixpoint rounds | wall s | pairs-pass s | crjb-udf busy core-s | "
+        "crjb-udf cpu core-s | fixpoint s | merge s |"
     )
     lines.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     dc_points = [
@@ -360,6 +361,7 @@ def main() -> None:
             f"{row.get('pairs_prefilter')} | {row.get('pairs_auto_accepted')} | "
             f"{row['aftershocks']} | {row['rounds']} | {row['wall']:.1f} | "
             f"{row['t_pairs']:.1f} | {row['crjb_udf_core_s']:.1f} | "
+            f"{row['crjb_udf_cpu_s']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster density-constant {label}: {row}")
@@ -374,7 +376,8 @@ def main() -> None:
     lines.append("")
     lines.append(
         "| catalog | events | eligible pairs | aftershocks | "
-        "fixpoint rounds | wall s | wall/Mpair s | pairs-pass s | crjb-udf core-s | "
+        "fixpoint rounds | wall s | wall/Mpair s | pairs-pass s | "
+        "crjb-udf busy core-s | crjb-udf cpu core-s | "
         "fixpoint s | merge s |"
     )
     lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
@@ -388,6 +391,7 @@ def main() -> None:
             f"| {label} | {row['n']} | {row['pairs']} | {row['aftershocks']} | "
             f"{row['rounds']} | {row['wall']:.1f} | {per_mpair:.1f} | "
             f"{row['t_pairs']:.1f} | {row['crjb_udf_core_s']:.1f} | "
+            f"{row['crjb_udf_cpu_s']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster density-stress {label}: {row}")

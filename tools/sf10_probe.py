@@ -31,6 +31,11 @@ QUERIES = [
     # round-8: the de-flooded Hamming search and the new training-prep ops
     "dedup_simhash_hamming", "dedup_edit_distance",
     "text_quality_classifier", "similarity_random_projection",
+    # round-12: the heaviest TPC-H joins (7-way BHJ market share, the
+    # 6-way product-profit scan, the exists/not-exists waiting-supplier)
+    # — exactly where an AQE broadcast-threshold flip at larger data
+    # would first show
+    "q8_market_share", "q9_product_profit", "q21_waiting_supplier",
 ]
 
 
@@ -207,6 +212,40 @@ def main() -> None:
         'degrade-to-spill, never OOM. Envelope pinned at sf0.1 in',
         'tests/test_properties.py.',
         '',
+        'text_cdc_chunks restructure (round-12, VERDICT r11 ask #1): the',
+        '12.5 GiB sf10 peak belonged to the old plan — posexplode to token',
+        'rows, a corpus-wide window cumulative sum, and a collect_list',
+        'regroup, three corpus-sized exchanges for doc-LOCAL arithmetic.',
+        'CDC chunking is now one map-side expression per document (boundary',
+        'positions behind a generator barrier so projection collapse cannot',
+        're-inline the md5 filter into per-chunk lambdas; chunks via an',
+        'indexed transform), leaving the corpus-wide singleton count as the',
+        "plan's only big exchange. Measured at sf10",
+        '(tools/memory_elasticity_probe.py): unconstrained 48 GiB heap —',
+        'identical 500,000 rows, peak 2.9 GiB (was 12.5), 0 B spilled;',
+        'under a 6 GiB heap — identical rows, peak 771.7 MiB, 0 B spilled,',
+        'equal wall (9.5 vs 9.7 s). The envelope shrinks 3.9x when the',
+        'heap does with nothing spilling, so the remaining peak is page',
+        'reservation, not data-sized state; the window-sort state that',
+        'actually scaled with the corpus is gone. Oracle SQL and value',
+        'hashes unchanged.',
+        '',
+        'text_duplicate_spans growth + memory adjudication (round-12,',
+        'VERDICT r11 ask #2, tools/span_growth_probe.py): every span',
+        'cardinality scales EXACTLY 10x at 10x docs — span rows 2,357,040',
+        '-> 23,570,400, distinct spans 2,246,940 -> 22,469,400, singletons',
+        '2,141,610 -> 21,416,100, duplicated-occurrence mass 215,430 ->',
+        '2,154,300, max multiplicity 4 -> 4, output rows 4,770 -> 47,700 —',
+        'and the same-session min-of-4 wall ratio is 4.8x (2.21 -> 10.66 s;',
+        "the r11 table's 6.4x compared minima from different sessions on",
+        'this 2-4x-swing host). The wall tracks the span-keyed aggregation:',
+        '95% of spans are corpus-wide singletons, so map-side combine',
+        'cannot shrink the exchange and the hash-agg state carries ~all',
+        'distinct spans — which is why the unconstrained peak (5.8 GiB in',
+        'r11) looks large. Under a 6 GiB heap the identical 47,700 rows',
+        'return with peak 3.0 GiB and 0 B spilled at comparable wall:',
+        'heap-elastic, degrade-to-spill by construction, never OOM.',
+        '',
         'sf10 decluster (VERDICT r4 ask #4): the distributed fixpoint at the',
         '10M-event catalog, density-constant construction (Gutenberg-Richter',
         'magnitudes, span stretched to 30,000 days so the event rate matches',
@@ -216,10 +255,30 @@ def main() -> None:
         'pairs-pass at identical eligible pairs/flags/rounds — the prefilter',
         'column now sits within a fraction of a percent of the eligible',
         'column (the SQL reject is essentially tight) and the auto column',
-        'counts pairs proven eligible without the Arrow kernel:',
+        'counts pairs proven eligible without the Arrow kernel. Round-12',
+        '(VERDICT r11 ask #3) batches the CRJB eligibility kernel ACROSS',
+        'claimers (crjb_eligible_grouped + signature-grouped boundary',
+        'builds): claim groups average ~10 pairs, so the per-claimer loop',
+        'paid ~40 us/pair of numpy dispatch for a ~24-element subset',
+        'matrix; one stacked pass per Arrow batch cuts the kernel to',
+        '~3.5 us/pair of real CPU at identical pairs/flags/rounds',
+        '(100k probe: 28.8 -> 7.9 busy core-s same-session). The table',
+        'now carries TWO kernel columns: busy (perf_counter wall inside',
+        'the batch body — on this steal-heavy 32-vCPU host with 32 Python',
+        'workers plus the JVM it books descheduling and memory-contention',
+        'stalls as kernel time, swinging 2-4x with load) and cpu',
+        '(process_time — the contention-immune compute). Measured locality',
+        'of that tax: the identical 1M pairs pass costs 51 cpu core-s at',
+        'local[8] vs ~296 at local[32] same-session; the r11 "3759.5',
+        'core-s" 10M row was the busy metric on a calmer box (same-session',
+        'old-tree rerun: 616 busy / 367 cpu at 1M vs the new tree 345 /',
+        '296 interleaved). Clean-box round-12 10M run: wall 671 -> 559 s,',
+        'busy 3759.5 -> 1526.1 core-s, cpu 1091.3 core-s — under the',
+        '<2000 target on both metrics at identical',
+        'pairs/prefilter/auto/rounds/aftershocks:',
         '',
-        '| catalog | events | eligible pairs | prefilter | auto-accepted | fixpoint rounds | wall s | pairs-pass s | crjb-udf core-s | fixpoint s | merge s |',
-        '|---|---|---|---|---|---|---|---|---|---|---|',
+        '| catalog | events | eligible pairs | prefilter | auto-accepted | fixpoint rounds | wall s | pairs-pass s | crjb-udf busy core-s | crjb-udf cpu core-s | fixpoint s | merge s |',
+        '|---|---|---|---|---|---|---|---|---|---|---|---|',
     ]
     import sys as _sys
     import traceback as _tb
@@ -255,7 +314,7 @@ def main() -> None:
             # record the truncation in the persisted section so the
             # checkpoint file never presents a partial table as complete
             lines.append(
-                f"| {label} | FAILED — rows truncated | | | | | | | | | |"
+                f"| {label} | FAILED — rows truncated | | | | | | | | | | |"
             )
             break
         lines.append(
@@ -263,6 +322,7 @@ def main() -> None:
             f"{row.get('pairs_prefilter')} | {row.get('pairs_auto_accepted')} | "
             f"{row['rounds']} | "
             f"{row['wall']:.1f} | {row['t_pairs']:.1f} | {row['crjb_udf_core_s']:.1f} | "
+            f"{row['crjb_udf_cpu_s']:.1f} | "
             f"{row['t_phase_a']:.1f} | {row['t_b2']:.1f} |"
         )
         print(f"  decluster {label}: {row}", flush=True)
