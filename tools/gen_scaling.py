@@ -347,7 +347,7 @@ def main() -> None:
         "fixpoint rounds | wall s | pairs-pass s | crjb-udf busy core-s | "
         "crjb-udf cpu core-s | fixpoint s | merge s |"
     )
-    lines.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     dc_points = [
         ("10k @ 30 d", "/root/testdata/sf0.01", 10_000, 1.0),
         ("100k @ 300 d", "/root/testdata/sf0.1", 100_000, 10.0),
@@ -380,7 +380,7 @@ def main() -> None:
         "crjb-udf busy core-s | crjb-udf cpu core-s | "
         "fixpoint s | merge s |"
     )
-    lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|---|---|")
     for label, sf_dir, n_exp in [
         ("sf0.01 events (10k)", "/root/testdata/sf0.01", 10_000),
         ("sf0.1 events (100k)", "/root/testdata/sf0.1", 100_000),
