@@ -25,7 +25,7 @@ visible at test scale: on the sf0.1 catalog (10k events, local[32]) the
 sequential driver loop takes ~118 s while the distributed fixpoint takes
 ~14 s — because the eligibility join and CRJB kernel parallelize while
 the greedy loop cannot. SCALING.md carries the measured growth points
-(density-constant 1M events ≈ 60-86 s, 10M ≈ 1274 s in one probe JVM).
+(density-constant 1M events ≈ 46-73 s, 10M ≈ 646 s in one probe JVM).
 """
 
 from __future__ import annotations

@@ -675,7 +675,7 @@ _MEM_CEILINGS_MIB = {
     # uncapped block buckets) must trip HERE, not first at an sf10 probe.
     "text_entropy_score": 32,        # measured ~0 (map-only fold, r11)
     "text_repetition_signals": 32,   # measured ~0 (map-only fold, r11)
-    "text_cdc_chunks": 1024,         # measured 525 MiB (r11)
+    "text_cdc_chunks": 640,          # measured 257 MiB (r12 map-side plan)
     "text_duplicate_spans": 640,     # measured 257 MiB (r11)
     "text_bigram_perplexity": 640,   # measured 281 MiB (r11)
     "dedup_simhash_hamming": 640,    # measured 257 MiB (r11)
@@ -711,7 +711,7 @@ _SHUFFLE_CEILINGS_KIB = {
     # BY DESIGN; a join-based or uncapped regression multiplies them.
     "text_entropy_score": 4,         # measured 0.1 KiB (map-only fold)
     "text_repetition_signals": 4,    # measured 0.1 KiB (map-only fold)
-    "text_cdc_chunks": 25_600,       # measured 6.2 MiB
+    "text_cdc_chunks": 4_608,        # measured 1.13 MiB (r12: chunk keys only)
     "text_duplicate_spans": 13_312,  # measured 3.3 MiB (hashed span keys)
     "text_bigram_perplexity": 768,   # measured 186 KiB (hashed LM keys)
     "dedup_simhash_hamming": 14_336, # measured 3.4 MiB (capped candidates)
