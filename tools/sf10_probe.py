@@ -275,7 +275,12 @@ def main() -> None:
         '296 interleaved). Clean-box round-12 10M run: wall 671 -> 559 s,',
         'busy 3759.5 -> 1526.1 core-s, cpu 1091.3 core-s — under the',
         '<2000 target on both metrics at identical',
-        'pairs/prefilter/auto/rounds/aftershocks:',
+        'pairs/prefilter/auto/rounds/aftershocks. With the kernel',
+        'batched, the pairs-pass and the Phase-A claim fixpoint are now',
+        'co-dominant at 10M (~268 s vs ~254 s in this probe JVM) — the',
+        'next levers are the fixpoint round joins and the',
+        'single-partition priority window inside t_prep, both documented',
+        'driver-side costs, not kernel compute:',
         '',
         '| catalog | events | eligible pairs | prefilter | auto-accepted | fixpoint rounds | wall s | pairs-pass s | crjb-udf busy core-s | crjb-udf cpu core-s | fixpoint s | merge s |',
         '|---|---|---|---|---|---|---|---|---|---|---|---|',
