@@ -893,15 +893,20 @@ def decluster_distributed(
             )
         )
     )
-    # The global row_number window necessarily runs on ONE partition (it
-    # is a total order over a small dimension — ~150 B/event with the
-    # polygon column), but without the repartition EVERYTHING downstream
-    # inherits that single partition: the pair join, the CRJB stage and
-    # every fixpoint round ran on one core (measured: 127 s of a 165 s
-    # wall at 100k events was the UDF on a single task). Re-spread to the
-    # cluster width and checkpoint once — e is reused by k, j, the
-    # polygon stream, the state fixpoint and the final assembly, so this
-    # also stops the window sort re-running per consumer.
+    # Priority = dense global rank by (mag desc, evid asc), computed as a
+    # RANGE-PARTITIONED rank (round-12): a plain row_number window over a
+    # total order runs on ONE partition, which means the whole event
+    # dimension — polygons included — funnels through a single task's
+    # sort; fine at 10M (~seconds, ~GBs), an OOM cliff at a 1B-event
+    # catalog. Instead range-partition on the sort key (key is unique —
+    # evid breaks mag ties — so no boundary key can straddle partitions
+    # and offset + local rank IS the exact global rank), checkpoint, take
+    # per-partition counts (a scalar-per-partition collect), and add the
+    # broadcast running offset to each partition's local row_number. Every
+    # pass is cluster-wide parallel; the only serial state is the ncores-
+    # sized offset map on the driver. e is reused by k, j, the polygon
+    # stream, the state fixpoint and the final assembly, so it is
+    # checkpointed once.
     ncores = spark.sparkContext.defaultParallelism
     e = (
         ev_src.select(
@@ -960,10 +965,33 @@ def decluster_distributed(
                 "(corners[i][1] = corners[(i + 1) % 4][1]))"
             ),
         )
+        .repartitionByRange(ncores, F.col("mag").desc(), F.col("evid"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = {
+        r._pid: r.n
+        for r in e.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs, running = [], 0
+    for pid in sorted(sizes):
+        offs.append((pid, running))
+        running += sizes[pid]
+    off_df = spark.createDataFrame(offs, schema="_pid int, _off long")
+    e = (
+        e.join(F.broadcast(off_df), "_pid")
         .withColumn(
             "prio",
-            F.row_number().over(Window.orderBy(F.col("mag").desc(), F.col("evid"))),
+            (
+                F.col("_off")
+                + F.row_number().over(
+                    Window.partitionBy("_pid").orderBy(
+                        F.col("mag").desc(), F.col("evid")
+                    )
+                )
+            ).cast("int"),
         )
+        .drop("_pid", "_off")
         .repartition(ncores)
         .localCheckpoint()
     )
