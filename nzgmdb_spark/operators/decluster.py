@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0088
 
+# Phase-A delta joins broadcast the per-round decided set while it is
+# provably small: 2M (int, bool) rows ≈ 16 MB framed — far under the 8 GB
+# broadcast cap and a trivial build on any executor, independent of core
+# count. Bigger deltas (early rounds of huge catalogs) take the
+# shuffled-hash path instead, where only the delta moves — the edge set's
+# checkpoint partitioning is reused either way.
+_DELTA_BROADCAST_MAX = 2_000_000
+
 
 def _haversine_km(lat1, lon1, lat2, lon2):
     phi1, phi2 = math.radians(lat1), math.radians(lat2)
@@ -675,8 +683,12 @@ def decluster_distributed(
        classic greedy-MIS-by-priority fixpoint: an event is claimed as
        soon as any earlier eligible claimer is known to be a mainshock,
        and is a mainshock once every earlier eligible claimer is known
-       not to be. Each round is one join + aggregation; rounds needed =
-       longest claim-chain depth, not catalog size.
+       not to be. Iterated as a DELTA fixpoint: per-target undecided-
+       claimer counts, with each round joining only the edges of the
+       claimers decided in the previous round — every edge is processed
+       exactly once across the fixpoint, and rounds needed = longest
+       claim-chain depth, not catalog size. ``prune_edges`` is retired
+       (accepted and ignored): per-edge-once leaves nothing to prune.
     3. **Claim assignment** — derived in one pass: a claimed event's
        claimer is the minimum-priority eligible mainshock (the first one
        processed). A second tiny fixpoint resolves the equal-magnitude
@@ -1417,112 +1429,117 @@ def decluster_distributed(
         stats["crjb_udf_core_s"] = round(_acc_busy.value, 3)
         stats["crjb_udf_cpu_s"] = round(_acc_cpu.value, 3)
     _mark("t_pairs")
-    if prune_edges is None:
-        # Per-round edge pruning pays for itself (two semi-joins + a
-        # checkpoint per round) only when the edge set is large enough
-        # that re-joining dead edges dominates: measured net-negative at
-        # 3M edges / 100k events (~+9 s) and a 2.3× Phase-A win at
-        # 14.6M edges / 1M events (64 s → 28 s, first prune cut the live
-        # set 9×).
-        prune_edges = n_pairs > 8_000_000
 
-    # --- Phase A: mainshock-at-turn fixpoint over earlier-priority edges.
-    # ep0 is the FULL earlier-priority edge set (Phase B1 needs it to find
-    # each target's minimum-priority mainshock claimer); ep is the live
-    # working set, pruned after every round: an edge is dead once its
-    # claimer is decided non-mainshock (contributes neither has_m nor
-    # has_u) or its target is decided. Edges whose claimer just became a
-    # mainshock survive one more round — the round that uses them to
-    # decide their targets — then leave via the target side. The live set
-    # shrinks roughly with undecided², so late rounds join a small
-    # fraction of the original volume.
-    ep0 = pairs.filter(F.col("k_prio") < F.col("j_prio")).select("k_prio", "j_prio")
-    ep = ep0
-    state = e.select("prio").withColumn("m", F.lit(None).cast("boolean"))
+    # --- Phase A: mainshock-at-turn fixpoint over earlier-priority edges,
+    # as a DELTA (message-passing) iteration (round-12). The synchronous
+    # form re-joined every live edge against the full state each round and
+    # re-checkpointed a pruned edge set (two semi-joins + a 184M-row
+    # checkpoint per early round at the 10M catalog — the measured
+    # co-dominant post-kernel cost). But an edge (k → j) only ever matters
+    # in the single round after its claimer k becomes decided: k true →
+    # j is claimed; k false → j has one fewer undecided claimer. So the
+    # state keeps, per target, the COUNT of edges from still-undecided
+    # claimers, and each round joins only the edges of the claimers
+    # decided in the previous round (the delta). Every edge is processed
+    # exactly once across the whole fixpoint — total join volume
+    # O(|edges|), not O(rounds × live edges) — and the edge set is
+    # hash-partitioned by claimer and checkpointed ONCE, never reshuffled
+    # or rewritten (the delta side moves to it instead: broadcast while
+    # provably small, shuffled-hash build otherwise). Decisions are
+    # round-for-round identical to the synchronous form: a target is
+    # claimed (false) in the round after its FIRST true claimer decides,
+    # becomes a mainshock (true) in the round after its LAST claimer
+    # decides false, and false takes precedence inside a round — exactly
+    # the has_m-before-has_u precedence of the old update (parity pinned
+    # by the randomized sequential-equality tests). ``prune_edges`` is
+    # retired: with per-edge-once processing there is nothing to prune.
+    ep0 = (
+        pairs.filter(F.col("k_prio") < F.col("j_prio"))
+        .select("k_prio", "j_prio")
+        .repartition(ncores, F.col("k_prio"))
+        .localCheckpoint()
+    )
+    # Per-target edge count: all claimers start undecided, so this is the
+    # initial undecided-claimer count, and the round-1 decision set is
+    # exactly the zero-count events (the local maxima) — matching the
+    # synchronous round 1, where the all-null state made every edge
+    # contribute has_u = 1.
+    deg = ep0.groupBy("j_prio").agg(F.count(F.lit(1)).alias("cnt"))
+    state = (
+        e.select("prio")
+        .join(deg, F.col("prio") == F.col("j_prio"), "left")
+        .select(
+            "prio",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.lit(None).cast("boolean").alias("m"),
+            F.lit(False).alias("is_new"),
+        )
+    )
+    und = running  # catalog size, from the rank pass's partition counts
     rounds_a = 0
+    n_new = 0
     for _ in range(max_rounds):
-        und = state.filter(F.col("m").isNull()).count()
         if stats is not None:
             stats.setdefault("round_undecided", []).append(int(und))
         if und == 0:
             break
         rounds_a += 1
         if rounds_a == 1:
-            # Round 1 special case: state is all-null, so k_m is null for
-            # EVERY edge — the k_state join is a provable no-op whose
-            # outcome is has_m = 0, has_u = 1 for every target with at
-            # least one earlier-priority edge. Computing that directly
-            # skips a full edges⋈state hash join over the entire edge set
-            # (measured ~1.8k core-s of the 10M catalog's Phase A).
-            agg = ep.groupBy("j_prio").agg(
-                F.min(F.lit(0)).alias("has_m"),
-                F.min(F.lit(1)).alias("has_u"),
-            )
+            first_m = F.when(F.col("cnt") == 0, F.lit(True))
+            state = state.select(
+                "prio",
+                "cnt",
+                first_m.alias("m"),
+                first_m.isNotNull().alias("is_new"),
+            ).localCheckpoint()
         else:
-            k_state = state.select(
+            if n_new == 0:
+                raise RuntimeError(
+                    "decluster fixpoint stalled: no new decisions with "
+                    f"{und} events undecided"
+                )
+            delta_k = state.filter(F.col("is_new")).select(
                 F.col("prio").alias("k_prio"), F.col("m").alias("k_m")
             )
-            agg = (
-                ep.join(k_state, "k_prio")
+            if n_new <= _DELTA_BROADCAST_MAX:
+                delta_k = F.broadcast(delta_k)
+            else:
+                delta_k = delta_k.hint("shuffle_hash")
+            msgs = (
+                ep0.join(delta_k, "k_prio")
                 .groupBy("j_prio")
                 .agg(
                     F.max(F.when(F.col("k_m"), 1).otherwise(0)).alias("has_m"),
-                    F.max(
-                        F.when(F.col("k_m").isNull(), 1).otherwise(0)
-                    ).alias("has_u"),
+                    F.count(F.lit(1)).alias("dec"),
                 )
             )
-        state = (
-            state.join(agg, state.prio == agg.j_prio, "left")
-            .select(
-                "prio",
+            new_cnt = F.col("cnt") - F.coalesce(F.col("dec"), F.lit(0))
+            new_m = (
                 F.when(F.col("m").isNotNull(), F.col("m"))
                 .when(F.coalesce(F.col("has_m"), F.lit(0)) == 1, F.lit(False))
-                .when(F.coalesce(F.col("has_u"), F.lit(0)) == 0, F.lit(True))
-                .alias("m"),
+                .when(new_cnt == 0, F.lit(True))
             )
-            .localCheckpoint()
-        )
-        if prune_edges and rounds_a >= 2:
-            # Round 1's prune is a provable no-op — no claimer is decided
-            # false yet (m = false needs a TRUE earlier claimer, and round
-            # 1 starts all-null) and every ep target has an incoming edge
-            # so it stays undecided — yet it paid two semi-joins, a full
-            # edge-set checkpoint and a count (measured ~3.4k core-s at
-            # 10M). Start pruning from round 2, where decided-false
-            # claimers and decided targets first exist.
-            ep = (
-                ep.join(
-                    state.filter(F.col("m").isNull()).select(
-                        F.col("prio").alias("j_prio")
-                    ),
-                    "j_prio",
-                    "left_semi",
-                )
-                .join(
-                    state.filter(F.col("m").isNull() | F.col("m")).select(
-                        F.col("prio").alias("k_prio")
-                    ),
-                    "k_prio",
-                    "left_semi",
+            state = (
+                state.join(msgs, F.col("prio") == F.col("j_prio"), "left")
+                .select(
+                    "prio",
+                    F.when(F.col("m").isNotNull(), F.col("cnt"))
+                    .otherwise(new_cnt)
+                    .alias("cnt"),
+                    new_m.alias("m"),
+                    (F.col("m").isNull() & new_m.isNotNull()).alias("is_new"),
                 )
                 .localCheckpoint()
             )
-            if stats is not None:
-                stats.setdefault("round_live_edges", []).append(ep.count())
-        elif prune_edges and rounds_a == 1 and stats is not None:
-            # The round-1 prune is the provable no-op skipped above, but
-            # the STATS entry must not be skipped with it: append the
-            # unpruned live-edge count (ep == ep0, a filter-count over the
-            # checkpointed pairs, stats mode only) so round_live_edges[i]
-            # stays aligned 1:1 with round i+1 for every consumer that
-            # zips it against round_undecided.
-            stats.setdefault("round_live_edges", []).append(ep.count())
+        n_new = state.filter(F.col("is_new")).count()
+        if stats is not None:
+            stats.setdefault("round_delta", []).append(int(n_new))
+        und -= n_new
     else:
         # The in-loop check runs before each update, so a run that converges
         # exactly on round max_rounds' update lands here with a complete
         # state — re-check before declaring failure.
-        if state.filter(F.col("m").isNull()).count() != 0:
+        if und != 0:
             raise RuntimeError(
                 f"decluster fixpoint did not converge in {max_rounds} rounds"
             )

@@ -964,20 +964,26 @@ def cosine_neardup_pairs(
     from nzgmdb_spark.operators.lsh import capped_band_candidates
 
     cand = capped_band_candidates(bands, "vec_id", ["band", "bucket"])
-    wide = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    ).withColumn(
+    # Ship the vectors through the two verify-join exchanges in their
+    # STORED float32 width and widen to double only inside the folds
+    # (§2.3 narrower types): float→double is exact, so every product and
+    # sum below sees bit-identical operands to the old
+    # cast-the-whole-array-first plan while the per-candidate exchange
+    # payload is halved (the candidate side of the second join carries a
+    # vector per row — the dominant shuffle bytes of this query).
+    _d = lambda x: x.cast("double")  # noqa: E731
+    wide = emb.select("vec_id", F.col("embedding").alias("v")).withColumn(
         "nrm",
         F.sqrt(
             F.aggregate(
-                F.transform(F.col("v"), lambda x: (x * x).cast(_DEC_TERM)),
+                F.transform(F.col("v"), lambda x: (_d(x) * _d(x)).cast(_DEC_TERM)),
                 F.lit(0).cast(_DEC_ACC),
                 lambda acc, x: (acc + x).cast(_DEC_ACC),
             ).cast("double")
         ),
     )
     dot_exact = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: (x * y).cast(_DEC_TERM)),
+        F.zip_with("va", "vb", lambda x, y: (_d(x) * _d(y)).cast(_DEC_TERM)),
         F.lit(0).cast(_DEC_ACC),
         lambda acc, x: (acc + x).cast(_DEC_ACC),
     ).cast("double")
@@ -994,7 +1000,7 @@ def cosine_neardup_pairs(
     # use only the decimal result — the emitted set is bit-identical to
     # the all-decimal plan.
     dot_fast = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.zip_with("va", "vb", lambda x, y: _d(x) * _d(y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

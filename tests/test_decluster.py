@@ -602,9 +602,9 @@ def test_distributed_100k_catalog_bounded_rounds(spark):
 
 
 def test_distributed_prune_edges_matches_sequential(spark):
-    # The per-round edge-pruning path only auto-activates past 8M eligible
-    # pairs; force it on a small randomized catalog so its correctness
-    # (dead-edge removal never changes flags) is covered by the suite.
+    # prune_edges is retired (the delta fixpoint processes each edge once,
+    # so there is nothing to prune) but stays accepted for signature
+    # compatibility; passing it must remain a harmless no-op.
     from nzgmdb_spark.operators.decluster import decluster_distributed
 
     events = _random_catalog(150, seed=41)

@@ -401,11 +401,12 @@ def main() -> None:
         "scalability claim of the distributed fixpoint "
         "(operators/decluster.py). A 10× larger catalog must not need "
         "10× the rounds; wall time grows with the eligible pair volume "
-        "(magnitude-banded spatial-cell equi-join), each round being one "
-        "join + aggregation, with per-round edge pruning past 8M pairs. "
-        "Pair-volume accounting (stats: pairs_prefilter / pairs_eligible "
-        "/ round_live_edges / per-phase walls) makes the wall ∝ pairs "
-        "claim measurable on any catalog."
+        "(magnitude-banded spatial-cell equi-join). The claim fixpoint is "
+        "a delta iteration: each round joins only the edges of claimers "
+        "decided in the previous round, so every edge is processed once "
+        "across the fixpoint. Pair-volume accounting (stats: "
+        "pairs_prefilter / pairs_eligible / round_delta / per-phase "
+        "walls) makes the wall ∝ pairs claim measurable on any catalog."
     )
     lines.append("")
     lines.append(
