@@ -46,6 +46,23 @@ EARTH_RADIUS_KM = 6371.0088
 # checkpoint partitioning is reused either way.
 _DELTA_BROADCAST_MAX = 2_000_000
 
+# Phase-A edge-set COMPACTION threshold: the delta iteration probes the
+# whole edge checkpoint every round (the probe side of a hash join is a
+# full scan even when almost nothing matches), so once most events are
+# decided the tail rounds pay O(|E|) scan for O(delta) output — measured
+# at the 1M catalog as 42 s stages scanning 14.6M edges to emit 15k
+# messages. When the still-relevant event set fits a broadcast, the edge
+# set is compacted with two map-side semi-joins (claimer must be
+# undecided-or-just-decided — just-decided edges fire NEXT round; target
+# must be undecided — messages to decided targets are provably ignored
+# by the state update) and re-checkpointed. The halving rule (compact
+# only when the keep set is ≤ half the size it had at the previous
+# compaction) bounds total rewrite volume by a geometric series ≤ 2|E|
+# worst case, and in practice the first compaction drops >90% of edges.
+# 8M int rows ≈ 32 MB framed — fine to broadcast; catalogs whose
+# undecided set never fits simply keep the uncompacted behavior.
+_COMPACT_BROADCAST_MAX = 8_000_000
+
 
 def _haversine_km(lat1, lon1, lat2, lon2):
     phi1, phi2 = math.radians(lat1), math.radians(lat2)
@@ -1443,9 +1460,14 @@ def decluster_distributed(
     # decided in the previous round (the delta). Every edge is processed
     # exactly once across the whole fixpoint — total join volume
     # O(|edges|), not O(rounds × live edges) — and the edge set is
-    # hash-partitioned by claimer and checkpointed ONCE, never reshuffled
-    # or rewritten (the delta side moves to it instead: broadcast while
-    # provably small, shuffled-hash build otherwise). Decisions are
+    # hash-partitioned by claimer and checkpointed once up front, with the
+    # delta side moving to it (broadcast while provably small,
+    # shuffled-hash build otherwise). Join OUTPUT is per-edge-once, but
+    # the probe side of each round's hash join still SCANS the whole
+    # checkpoint, so tail rounds of a big catalog pay O(|E|) scan for
+    # O(delta) output — the edge-set compaction below (halving-rule
+    # semi-join filter, see _COMPACT_BROADCAST_MAX) bounds the total scan
+    # volume too. Decisions are
     # round-for-round identical to the synchronous form: a target is
     # claimed (false) in the round after its FIRST true claimer decides,
     # becomes a mainshock (true) in the round after its LAST claimer
@@ -1478,6 +1500,8 @@ def decluster_distributed(
     und = running  # catalog size, from the rank pass's partition counts
     rounds_a = 0
     n_new = 0
+    ep_live = ep0  # compacted copy for the round joins; B1 keeps ep0
+    compact_basis = running  # keep-set size at the last compaction
     for _ in range(max_rounds):
         if stats is not None:
             stats.setdefault("round_undecided", []).append(int(und))
@@ -1506,7 +1530,7 @@ def decluster_distributed(
             else:
                 delta_k = delta_k.hint("shuffle_hash")
             msgs = (
-                ep0.join(delta_k, "k_prio")
+                ep_live.join(delta_k, "k_prio")
                 .groupBy("j_prio")
                 .agg(
                     F.max(F.when(F.col("k_m"), 1).otherwise(0)).alias("has_m"),
@@ -1535,6 +1559,33 @@ def decluster_distributed(
         if stats is not None:
             stats.setdefault("round_delta", []).append(int(n_new))
         und -= n_new
+        # Edge-set compaction (see _COMPACT_BROADCAST_MAX): keep only the
+        # edges that can still carry a message — claimer undecided or
+        # decided THIS round (those fire next round; claimers decided in
+        # earlier rounds already fired, per-edge-once), target undecided
+        # (the state update keeps m and cnt untouched once m is set, so a
+        # message at a decided target is a no-op by construction). Both
+        # keep sets come from the checkpointed state and broadcast, so the
+        # compaction is one map-side filter pass + re-checkpoint of the
+        # survivors, preserving the k_prio hash partitioning.
+        keep_n = und + n_new
+        if 0 < und and keep_n <= _COMPACT_BROADCAST_MAX and 2 * keep_n <= compact_basis:
+            keep_k = state.filter(F.col("m").isNull() | F.col("is_new")).select(
+                F.col("prio").alias("k_prio")
+            )
+            keep_j = state.filter(F.col("m").isNull()).select(
+                F.col("prio").alias("j_prio")
+            )
+            ep_live = (
+                ep_live.join(F.broadcast(keep_k), "k_prio", "semi")
+                .join(F.broadcast(keep_j), "j_prio", "semi")
+                .localCheckpoint()
+            )
+            compact_basis = keep_n
+            if stats is not None:
+                stats.setdefault("edge_compactions", []).append(
+                    {"round": rounds_a, "live_edges": int(ep_live.count())}
+                )
     else:
         # The in-loop check runs before each update, so a run that converges
         # exactly on round max_rounds' update lands here with a complete

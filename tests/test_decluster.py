@@ -601,6 +601,56 @@ def test_distributed_100k_catalog_bounded_rounds(spark):
     assert stats["rounds_a"] <= 32
 
 
+def test_distributed_edge_compaction_fires_and_matches_sequential(spark):
+    """The Phase-A edge-set compaction (round-12) must fire on a catalog
+    whose undecided set halves, shrink the live edge set monotonically,
+    and leave every decision identical to the sequential algorithm.
+
+    The catalog is a 16-event spatial CHAIN (9 km spacing, 2 km rupture
+    squares, descending magnitudes, ascending times): each event's only
+    eligible claimer is its predecessor (CRJB ≈ 8 km to the neighbor,
+    ≈ 17 km to anything further), so decisions cascade one event per
+    round — the deep-tail round structure where compaction matters."""
+    from nzgmdb_spark.operators.decluster import decluster_distributed
+
+    t0 = _epoch("2020-01-01T00:00:00")
+    events = [
+        {
+            "evid": f"c{i:02d}",
+            "datetime": t0 + i * 3600.0,
+            "mag": 6.0 - 0.1 * i,
+            "lat": 34.0 + i * (9.0 / KM_PER_DEG_LAT),
+            "lon": -118.0,
+            "corners": _square(34.0 + i * (9.0 / KM_PER_DEG_LAT), -118.0),
+        }
+        for i in range(16)
+    ]
+    a_seq, c_seq = decluster_catalog(events, crjb_cutoff_km=10.0)
+    df = spark.createDataFrame(
+        [(e["evid"], e["datetime"], e["mag"], e["lat"], e["lon"]) for e in events],
+        ["evid", "datetime", "mag", "lat", "lon"],
+    )
+    corners = {e["evid"]: e["corners"] for e in events}
+    stats: dict = {}
+    out = decluster_distributed(df, corners, crjb_cutoff_km=10.0, stats=stats)
+    got = {r.evid: r for r in out.collect()}
+    evids = [e["evid"] for e in events]
+    assert [got[e].aftershock_flag for e in evids] == a_seq
+    assert _partitions(evids, [got[e].cluster_evid for e in evids]) == _partitions(
+        evids, c_seq
+    )
+    comps = stats.get("edge_compactions")
+    assert comps, "compaction never fired on a 400-event clustered catalog"
+    # halving rule: compaction rounds strictly increase, live edge counts
+    # are non-increasing, and the compacted set is a strict subset of the
+    # eligible earlier-priority edge population
+    rounds = [c["round"] for c in comps]
+    lives = [c["live_edges"] for c in comps]
+    assert rounds == sorted(set(rounds))
+    assert all(a >= b for a, b in zip(lives, lives[1:]))
+    assert lives[0] < stats["pairs_eligible"]
+
+
 def test_distributed_prune_edges_matches_sequential(spark):
     # prune_edges is retired (the delta fixpoint processes each edge once,
     # so there is nothing to prune) but stays accepted for signature
