@@ -129,6 +129,10 @@ def _decluster_row(
         # (d+r_min disc / rectangle-interior) accepted kernel-free
         "pairs_prefilter": stats.get("pairs_prefilter"),
         "pairs_auto_accepted": stats.get("pairs_auto_accepted"),
+        # round-12 edge-set compaction observability: which rounds
+        # compacted and the live edge count after each (None = the
+        # undecided set never halved under the broadcast cap)
+        "edge_compactions": stats.get("edge_compactions"),
     }
 
 
@@ -404,7 +408,10 @@ def main() -> None:
         "(magnitude-banded spatial-cell equi-join). The claim fixpoint is "
         "a delta iteration: each round joins only the edges of claimers "
         "decided in the previous round, so every edge is processed once "
-        "across the fixpoint. Pair-volume accounting (stats: "
+        "across the fixpoint, and once the undecided set fits a "
+        "broadcast the edge checkpoint is compacted (map-side semi-join, "
+        "halving rule) so tail rounds stop re-scanning it. Pair-volume "
+        "accounting (stats: "
         "pairs_prefilter / pairs_eligible / round_delta / per-phase "
         "walls) makes the wall ∝ pairs claim measurable on any catalog."
     )
