@@ -22,6 +22,26 @@ import sys
 import time
 
 
+def _cpu_ticks():
+    """(total_ticks, steal_ticks, idle_ticks) from /proc/stat, or None.
+
+    Used to ride per-query steal/busy evidence in the emitted JSON so a
+    cross-session BENCH comparison can see host contamination directly
+    instead of inferring it from a separate A/B session (VERDICT r12 ask #1:
+    this box's code-identical samples swing 2-14x under co-tenant steal).
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        total = sum(vals)
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        steal = vals[7] if len(vals) > 7 else 0
+        return total, steal, idle
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -76,16 +96,37 @@ def main() -> None:
     # every run re-does all data work.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_samples: dict[str, list[float]] = {}
+    host_cpu_per_query: dict[str, dict] = {}
     timings_count_only: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
         samples = []
+        ticks0 = _cpu_ticks()
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = run_full(df)
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+        ticks1 = _cpu_ticks()
         timings[name] = round(sorted(samples)[n_runs // 2], 4)
+        # Steal-robust statistic: the per-query MINIMUM. On a box with
+        # one-sided co-tenant steal the min of 5 fresh runs tracks the plan
+        # while the median books whatever the co-tenant was doing; emit both
+        # so PERF rounds can be adjudicated without a separate A/B session
+        # (VERDICT r12 ask #1). Additions only — medians stay the headline.
+        timings_min[name] = round(min(samples), 4)
+        timings_samples[name] = [round(s, 4) for s in samples]
+        if ticks0 is not None and ticks1 is not None:
+            dt = ticks1[0] - ticks0[0]
+            if dt > 0:
+                host_cpu_per_query[name] = {
+                    "steal_pct": round(100.0 * (ticks1[1] - ticks0[1]) / dt, 2),
+                    "busy_pct": round(
+                        100.0 * (dt - (ticks1[2] - ticks0[2])) / dt, 2
+                    ),
+                }
         # legacy method (bare .count(), rounds 1-3) for cross-round
         # comparability — column pruning may gut expression-heavy queries,
         # which is exactly why it is no longer the headline number
@@ -123,11 +164,19 @@ def main() -> None:
             "(q1 0.30s pruned vs ~1.2s honest); round-over-round deltas "
             "on this steal-prone box are adjudicated with the interleaved "
             "A/B harness (tools/ab_compare.py <refA> <refB>), not by "
-            "comparing BENCH_r files directly"
+            "comparing BENCH_r files directly; queries_min (min of the "
+            "same samples) is the steal-robust per-query statistic — under "
+            "one-sided co-tenant contention compare mins, and check "
+            "host_cpu_per_query.steal_pct/busy_pct before reading any "
+            "cross-session delta as real"
         ),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "value_min": round(sum(timings_min.values()), 4),
+        "queries_min": timings_min,
+        "queries_samples": timings_samples,
+        "host_cpu_per_query": host_cpu_per_query,
         "value_count_only_legacy": round(sum(timings_count_only.values()), 4),
         "queries_count_only_legacy": timings_count_only,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
